@@ -1,0 +1,165 @@
+"""Deterministic image synthesis + uncompressed codecs + invariants.
+
+No Pillow in the environment, so the corpus uses formats numpy can
+round-trip exactly: PPM (P6), BMP (24-bit uncompressed), and raw RGB.
+"Lossy" is a seeded quantization so the PSNR>=40dB invariant of
+BASELINE.json input_hint is exercised without a JPEG codec. phash is a
+64-bit average hash over an 8x8 grayscale downsample.
+
+All functions are pure numpy and safe inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_WORDS = (
+    "amber basalt cedar delta ember fjord garnet harbor iris juniper "
+    "kelp lagoon marble nectar onyx prairie quartz reef sierra tundra "
+    "umber violet willow xenon yarrow zephyr"
+).split()
+
+
+def synth_image(image_id: int, w: int = 32, h: int = 24) -> np.ndarray:
+    """Seeded RGB image (h, w, 3) uint8 — deterministic per image_id."""
+    rng = np.random.default_rng(42 + image_id)
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # add smooth structure so quantization produces a realistic PSNR
+    yy, xx = np.mgrid[0:h, 0:w]
+    wave = (127 + 120 * np.sin(xx / 5 + image_id) * np.cos(yy / 7)).astype(np.uint8)
+    return ((base.astype(np.uint16) + wave[..., None]) // 2).astype(np.uint8)
+
+
+def caption_for(image_id: int, n_words: int = 6) -> str:
+    rng = np.random.default_rng(10_000 + image_id)
+    picks = rng.integers(0, len(_WORDS), size=n_words)
+    return " ".join(_WORDS[i] for i in picks) + f" #{image_id}"
+
+
+# --- PPM (P6) ----------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval, single whitespace, raster
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(data[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError("unsupported maxval")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+# --- BMP (24-bit, bottom-up, BGR) --------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    bgr = pixels[::-1, :, ::-1].astype(np.uint8)  # bottom-up, BGR
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    if bpp != 24:
+        raise ValueError("unsupported bpp")
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * abs(h), offset=offset)
+    rows = rows.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+# --- raw / lossy / dispatch ---------------------------------------------------
+
+
+def quantize_lossy(pixels: np.ndarray, step: int = 4) -> np.ndarray:
+    """Seeded quantization standing in for a lossy codec; PSNR stays
+    above the 40dB gate for step<=4."""
+    q = (pixels.astype(np.int32) // step) * step + step // 2
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "ppm":
+        return encode_ppm(pixels)
+    if fmt == "bmp":
+        return encode_bmp(pixels)
+    if fmt == "raw":
+        h, w = pixels.shape[:2]
+        return struct.pack("<HH", w, h) + pixels.astype(np.uint8).tobytes()
+    if fmt == "lossy":
+        return encode_ppm(quantize_lossy(pixels))
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt in ("ppm", "lossy"):
+        return decode_ppm(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "raw":
+        w, h = struct.unpack_from("<HH", data, 0)
+        return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=4).reshape(h, w, 3).copy()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(255.0**2 / mse))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: 8x8 grayscale downsample, bit = above mean.
+    Returned as signed int64 (Spark LongType / input_hint phash:int64)."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = gray[ys[i] : ye[i], xs[j] : xe[j]].mean()
+    bits = (cells > cells.mean()).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    # two's-complement into int64
+    if value >= 1 << 63:
+        value -= 1 << 64
+    return value

@@ -1,0 +1,103 @@
+"""Image+caption extraction: parts table → input_hint payload table.
+
+The north-star flow: crawled MHTML archives → split → decoded image
+parts + sibling caption parts → one row per image with
+(image_id, bytes, w, h, fmt, caption, phash) — exactly the
+BASELINE.json ``input_hint`` schema.
+
+Spark-first shape: images and captions are two filters over the SAME
+parts relation, joined on (archive_id, stem) — an equi-join Catalyst
+plans as a broadcast/shuffled hash join; pixel decode + phash is the
+only Pandas-UDF stage (vectorized, Arrow-batched, per-part work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_IMG_SCHEMA = (
+    "archive_id string, image_id string, bytes binary, w int, h int, "
+    "fmt string, phash long"
+)
+
+_FMT_BY_EXT = {"ppm": "ppm", "bmp": "bmp", "raw": "raw", "lossy": "lossy"}
+
+
+def _decode_batches(batches):
+    import pandas as pd
+
+    from ..images.synth import decode_bmp, decode_ppm, phash64
+
+    for pdf in batches:
+        rows = []
+        for archive_id, image_id, data, ext in zip(
+            pdf["archive_id"], pdf["image_id"], pdf["data"], pdf["ext"]
+        ):
+            data = bytes(data)
+            # sniff: magic outranks the extension, like the BOM outranks
+            # a declared charset
+            try:
+                if data[:2] == b"P6":
+                    pixels, fmt = decode_ppm(data), ("lossy" if ext == "lossy" else "ppm")
+                elif data[:2] == b"BM":
+                    pixels, fmt = decode_bmp(data), "bmp"
+                else:
+                    import struct
+
+                    import numpy as np
+
+                    w0, h0 = struct.unpack_from("<HH", data, 0)
+                    pixels = (
+                        np.frombuffer(data, dtype=np.uint8, count=w0 * h0 * 3, offset=4)
+                        .reshape(h0, w0, 3)
+                        .copy()
+                    )
+                    fmt = "raw"
+            except Exception:
+                continue  # undecodable image: drop the row, like notFound
+            h, w = pixels.shape[:2]
+            rows.append(
+                {
+                    "archive_id": archive_id,
+                    "image_id": image_id,
+                    "bytes": data,
+                    "w": w,
+                    "h": h,
+                    "fmt": fmt,
+                    "phash": phash64(pixels),
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["archive_id", "image_id", "bytes", "w", "h", "fmt", "phash"]
+        )
+
+
+def extract_images(parts: DataFrame) -> DataFrame:
+    """Parts → (image_id, bytes, w, h, fmt, caption, phash).
+
+    Image parts are identified by content type (image/* or
+    application/octet-stream with a known extension); captions are
+    sibling text/plain parts sharing the location stem.
+    """
+    loc = F.coalesce(F.col("content_location"), F.col("part_id"))
+    base = F.element_at(F.split(loc, "/"), -1)
+    stem = F.regexp_extract(base, r"^(.*?)(\.[^.]+)?$", 1)
+    ext = F.lower(F.regexp_extract(base, r"\.([^.]+)$", 1))
+    ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+
+    tagged = parts.withColumn("stem", stem).withColumn("ext", ext).withColumn("ct", ct)
+
+    image_parts = tagged.filter(
+        ct.startswith("image/")
+        | (ct.startswith("application/octet-stream") & ext.isin(list(_FMT_BY_EXT)))
+    ).select("archive_id", F.col("stem").alias("image_id"), "data", "ext")
+
+    captions = tagged.filter(ct.startswith("text/plain") & (F.col("ext") == "txt")).select(
+        "archive_id", F.col("stem").alias("image_id"), F.col("text").alias("caption")
+    )
+
+    decoded = image_parts.mapInPandas(_decode_batches, schema=_IMG_SCHEMA)
+    return decoded.join(captions, on=["archive_id", "image_id"], how="left").select(
+        "archive_id", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    )

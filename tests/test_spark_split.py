@@ -1,0 +1,78 @@
+"""End-to-end Spark pipeline: corpus → split → registry → images, with
+the input_hint pixel/caption invariants (PSNR>=40dB for lossy, exact
+otherwise; caption equality)."""
+
+import numpy as np
+import pytest
+
+from mhtml_to_html_spark.images.synth import decode_image, psnr, synth_image
+from mhtml_to_html_spark.operators.images_extract import extract_images
+from mhtml_to_html_spark.operators.registry import registry_keys, select_index
+from mhtml_to_html_spark.operators.split import split_archives
+from mhtml_to_html_spark.sources.corpus import archives_df, image_meta, images_df
+
+N_ARCHIVES = 12
+IMAGES_PER = 3
+
+
+@pytest.fixture(scope="module")
+def parts(spark):
+    df = split_archives(archives_df(spark, N_ARCHIVES, IMAGES_PER, partitions=4))
+    df.cache().count()
+    return df
+
+
+def test_every_archive_split(parts):
+    counts = {r["archive_id"]: r["n"] for r in parts.groupBy("archive_id").count().withColumnRenamed("count", "n").collect()}
+    assert len(counts) == N_ARCHIVES
+    # 1 document + (image + caption) per image
+    assert all(n == 1 + 2 * IMAGES_PER for n in counts.values()), counts
+
+
+def test_spark_split_matches_pure_python(parts):
+    from mhtml_to_html_spark.mime import parse_mhtml
+    from mhtml_to_html_spark.sources.corpus import build_archive
+
+    rows = parts.filter("archive_id = 'arc_000003'").orderBy("seq").collect()
+    oracle = parse_mhtml(build_archive(3, IMAGES_PER))
+    assert len(rows) == len(oracle.parts)
+    for row, part in zip(rows, oracle.parts):
+        assert row["part_id"] == part.part_id
+        assert bytes(row["data"]) == part.data
+        assert row["content_type"] == part.content_type
+
+
+def test_index_selection_matches(parts, spark):
+    idx = {r["archive_id"]: r["index_id"] for r in select_index(parts).collect()}
+    inline = {r["archive_id"]: r["index_id"] for r in parts.select("archive_id", "index_id").distinct().collect()}
+    assert idx == inline
+    assert all(v.endswith(".html") for v in idx.values())
+
+
+def test_registry_first_wins(parts):
+    keys = registry_keys(parts)
+    dupes = keys.groupBy("archive_id", "key").count().filter("count > 1").count()
+    assert dupes == 0
+
+
+def test_images_extracted_with_invariants(parts, spark):
+    extracted = extract_images(parts)
+    golden = images_df(spark, N_ARCHIVES, IMAGES_PER, partitions=4).withColumnRenamed(
+        "bytes", "golden_bytes"
+    )
+    joined = extracted.join(golden, on="image_id", how="inner").collect()
+    assert len(joined) == N_ARCHIVES * IMAGES_PER
+    for row in joined:
+        gid = int(row["image_id"].split("_")[1])
+        source = synth_image(gid, row["w"], row["h"])
+        decoded = decode_image(bytes(row["bytes"]), row["fmt"])
+        assert decoded.shape == source.shape
+        if row["fmt"] == "lossy":
+            assert psnr(source, decoded) >= 40.0, f"PSNR gate failed for {row['image_id']}"
+        else:
+            assert np.array_equal(decoded, source), f"pixels differ for {row['image_id']}"
+        meta = image_meta(gid)
+        assert row["caption"] == meta["caption"], "caption equality failed"
+        assert row["w"] == meta["w"] and row["h"] == meta["h"]
+        if row["fmt"] != "lossy":
+            assert row["phash"] == meta["phash"]
