@@ -1,38 +1,693 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 plus
+the training-data-pipeline operators; ``oracle_sql()`` gives the DuckDB
+replay. MHTML queries run on the deterministic synthetic corpus
+(seed=42, built in-memory — the reference ships no fixture files
+either), and their oracles are VALUES literals computed by the pure
+Python parser — so Spark's distributed answer is checked against an
+independent single-process execution of the same semantics.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_ORACLE_ARCHIVES = 8
+IMAGES_PER_ARCHIVE = 3
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: text-quality + language-ID + exact-dedup pipeline over
+    the documents table at sf0.001, the shape of a pretraining-data
+    curation pass."""
+    from mhtml_to_html_spark.operators.dedup import exact_dedup
+    from mhtml_to_html_spark.operators.text import language_id, quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    quality = quality_score(docs)
+    langs = language_id(docs)
+    canon = exact_dedup(docs).select(F.col("canonical_doc_id").alias("doc_id"))
+    return (
+        quality.join(langs, "doc_id")
+        .join(canon, "doc_id", "left_semi")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# relational queries over the driver tables
+# --------------------------------------------------------------------------
+
+
+def _load(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_supplier_geo(spark, sf_dir):
+    s = _load(spark, sf_dir, "supplier")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_first_wins(spark, sf_dir):
+    """R1 analogue: first event per user under an explicit total order
+    (ts, event_id) — never first()-without-order."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_index_selection(spark, sf_dir):
+    """R2 analogue: per source pick the first document by preference
+    tiers (en > es > everything else), then document order."""
+    from pyspark.sql import Window
+
+    d = _load(spark, sf_dir, "documents")
+    tier = F.when(F.col("lang") == "en", 0).when(F.col("lang") == "es", 1).otherwise(2)
+    w = Window.partitionBy("source").orderBy(F.col("tier"), F.col("doc_id"))
+    return (
+        d.withColumn("tier", tier)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("doc_id").cast("long").alias("index_doc_id"), F.col("tier").cast("long").alias("tier"))
+        .orderBy("source")
+    )
+
+
+def q_unfound_antijoin(spark, sf_dir):
+    """R5 analogue: customers with no high-value order (anti-join with
+    a pushed-down predicate on the probe side)."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"), "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_per_key_topk(spark, sf_dir):
+    """F3/frontier-budget analogue: top-3 events by value per type."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
+def q_eligibility_filter(spark, sf_dir):
+    """U6 analogue: predicate filter + dedup within round."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("value") > 50)
+        .select(F.col("user_id").cast("long").alias("user_id"))
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+def q_running_window(spark, sf_dir):
+    """Running per-user aggregate under an explicit total order."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from mhtml_to_html_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents")).orderBy("h")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from mhtml_to_html_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_load(spark, sf_dir, "documents")).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from mhtml_to_html_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), 0.4).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from mhtml_to_html_spark.operators.dedup import simhash
+
+    return simhash(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_text_tokens(spark, sf_dir):
+    from mhtml_to_html_spark.operators.text import token_count
+
+    return token_count(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    from mhtml_to_html_spark.operators.text import quality_score
+
+    return quality_score(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_text_langid(spark, sf_dir):
+    from mhtml_to_html_spark.operators.text import language_id
+
+    return language_id(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from mhtml_to_html_spark.operators.text import fingerprint
+
+    return fingerprint(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    from mhtml_to_html_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_load(spark, sf_dir, "embeddings"), 0, 10)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    from mhtml_to_html_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_load(spark, sf_dir, "embeddings"), 0, 10)
+
+
+# --------------------------------------------------------------------------
+# MHTML queries (synthetic corpus; oracles are pure-Python VALUES)
+# --------------------------------------------------------------------------
+
+
+def _corpus_parts(spark):
+    from mhtml_to_html_spark.operators.split import split_archives
+    from mhtml_to_html_spark.sources.corpus import archives_df
+
+    return split_archives(archives_df(spark, N_ORACLE_ARCHIVES, IMAGES_PER_ARCHIVE, partitions=4))
+
+
+def q_mhtml_parts(spark, sf_dir):
+    return (
+        _corpus_parts(spark)
+        .select(
+            "archive_id",
+            F.col("seq").cast("long").alias("seq"),
+            "part_id",
+            "content_type",
+            "transfer_encoding",
+            F.length("data").cast("long").alias("data_len"),
+            F.sha2(F.col("data"), 256).alias("data_sha256"),
+            F.col("is_index"),
+        )
+        .orderBy("archive_id", "seq")
+    )
+
+
+def q_mhtml_registry(spark, sf_dir):
+    from mhtml_to_html_spark.operators.registry import registry_keys
+
+    return (
+        registry_keys(_corpus_parts(spark))
+        .select("archive_id", "key", "kind", "part_id")
+        .orderBy("archive_id", "key")
+    )
+
+
+def q_mhtml_index(spark, sf_dir):
+    from mhtml_to_html_spark.operators.registry import select_index
+
+    return (
+        select_index(_corpus_parts(spark))
+        .select("archive_id", "index_id", F.col("tier").cast("long").alias("tier"))
+        .orderBy("archive_id")
+    )
+
+
+def q_mhtml_images(spark, sf_dir):
+    from mhtml_to_html_spark.operators.images_extract import extract_images
+
+    return (
+        extract_images(_corpus_parts(spark))
+        .select(
+            "image_id",
+            F.col("w").cast("long").alias("w"),
+            F.col("h").cast("long").alias("h"),
+            "fmt",
+            "caption",
+            F.col("phash").cast("long").alias("phash"),
+            F.sha2(F.col("bytes"), 256).alias("bytes_sha256"),
+        )
+        .orderBy("image_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END"
+)
+_EN_STOP = "['the','a','of','and','to','in','is','it','that','for']"
+_LANG_STOP = {
+    "de": "['der','die','das','und','zu','in','ist','ein','eine','von']",
+    "en": _EN_STOP,
+    "es": "['el','la','de','y','que','en','un','una','es','por']",
+    "fr": "['le','la','de','et','que','en','un','une','est','pour']",
+}
+
+
+def _minhash_oracle() -> str:
+    mh = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(s || '|{i}')), 'min') AS mh{i}"
+        for i in range(12)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sigs"
+        for b in range(6)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+sigs AS (SELECT doc_id, {mh} FROM sh WHERE len(shingles) > 0),
+bands AS ({bands})
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"sum(((v // {2**b}) % 2) * 2 - 1) AS s{b}" for b in range(16)
+    )
+    sig = " + ".join(f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(16))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+vals AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS v FROM toks),
+sums AS (SELECT doc_id, {sums} FROM vals GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({sig} AS BIGINT) AS simhash
+FROM sums ORDER BY doc_id"""
+
+
+def _cosine_expr(vec_a: str, vec_b: str) -> str:
+    dot = f"list_sum(list_transform(range(1, len({vec_a}) + 1), i -> CAST({vec_a}[i] AS DOUBLE) * CAST({vec_b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform(range(1, len({vec_a}) + 1), i -> CAST({vec_a}[i] AS DOUBLE) * CAST({vec_a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(range(1, len({vec_b}) + 1), i -> CAST({vec_b}[i] AS DOUBLE) * CAST({vec_b}[i] AS DOUBLE))))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def _sql_quote(value) -> str:
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def _values_oracle(rows: list[dict], types: dict[str, str]) -> str:
+    cols = list(types)
+    tuples = ",\n".join(
+        "(" + ", ".join(_sql_quote(row[c]) for c in cols) + ")" for row in rows
+    )
+    select = ", ".join(f"CAST({c} AS {types[c]}) AS {c}" for c in cols)
+    return f"SELECT {select} FROM (VALUES\n{tuples}\n) AS t({', '.join(cols)})"
+
+
+def _mhtml_oracle_rows():
+    """Pure-Python replay of the corpus parse (the independent oracle)."""
+    from mhtml_to_html_spark.mime import parse_mhtml
+    from mhtml_to_html_spark.sources.corpus import build_archive
+
+    results = []
+    for i in range(N_ORACLE_ARCHIVES):
+        archive_id = f"arc_{i:06d}"
+        results.append((archive_id, parse_mhtml(build_archive(i, IMAGES_PER_ARCHIVE))))
+    return results
+
+
+def _mhtml_parts_values() -> str:
+    rows = []
+    for archive_id, result in _mhtml_oracle_rows():
+        for p in result.parts:
+            rows.append(
+                {
+                    "archive_id": archive_id,
+                    "seq": p.seq,
+                    "part_id": p.part_id,
+                    "content_type": p.content_type,
+                    "transfer_encoding": p.transfer_encoding,
+                    "data_len": len(p.data),
+                    "data_sha256": hashlib.sha256(p.data).hexdigest(),
+                    "is_index": p.part_id == result.index and p.is_index,
+                }
+            )
+    return _values_oracle(
+        rows,
+        {
+            "archive_id": "VARCHAR",
+            "seq": "BIGINT",
+            "part_id": "VARCHAR",
+            "content_type": "VARCHAR",
+            "transfer_encoding": "VARCHAR",
+            "data_len": "BIGINT",
+            "data_sha256": "VARCHAR",
+            "is_index": "BOOLEAN",
+        },
+    ) + " ORDER BY archive_id, seq"
+
+
+def _mhtml_registry_values() -> str:
+    rows = []
+    for archive_id, result in _mhtml_oracle_rows():
+        seen = {}
+        for p in result.parts:
+            for key, kind in p.keys:
+                if key not in seen:
+                    seen[key] = (kind, p.part_id)
+        for key, (kind, part_id) in seen.items():
+            rows.append({"archive_id": archive_id, "key": key, "kind": kind, "part_id": part_id})
+    return _values_oracle(
+        rows,
+        {"archive_id": "VARCHAR", "key": "VARCHAR", "kind": "VARCHAR", "part_id": "VARCHAR"},
+    ) + " ORDER BY archive_id, key"
+
+
+def _mhtml_index_values() -> str:
+    from mhtml_to_html_spark.mime.kernels import is_document, is_image, is_plain_text
+
+    rows = []
+    for archive_id, result in _mhtml_oracle_rows():
+        best = None
+        for p in result.parts:
+            if is_document(p.content_type):
+                tier = 0
+            elif is_image(p.content_type):
+                tier = 1
+            elif is_plain_text(p.content_type):
+                tier = 2
+            else:
+                continue
+            if best is None or (tier, p.seq) < best[:2]:
+                best = (tier, p.seq, p.part_id)
+        if best:
+            rows.append({"archive_id": archive_id, "index_id": best[2], "tier": best[0]})
+    return _values_oracle(
+        rows, {"archive_id": "VARCHAR", "index_id": "VARCHAR", "tier": "BIGINT"}
+    ) + " ORDER BY archive_id"
+
+
+def _mhtml_images_values() -> str:
+    from mhtml_to_html_spark.sources.corpus import image_meta
+
+    rows = []
+    for gid in range(N_ORACLE_ARCHIVES * IMAGES_PER_ARCHIVE):
+        meta = image_meta(gid)
+        rows.append(
+            {
+                "image_id": meta["image_id"],
+                "w": meta["w"],
+                "h": meta["h"],
+                "fmt": meta["fmt"],
+                "caption": meta["caption"],
+                "phash": meta["phash"] if meta["fmt"] != "lossy" else _lossy_phash(gid, meta),
+                "bytes_sha256": hashlib.sha256(meta["bytes"]).hexdigest(),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "image_id": "VARCHAR",
+            "w": "BIGINT",
+            "h": "BIGINT",
+            "fmt": "VARCHAR",
+            "caption": "VARCHAR",
+            "phash": "BIGINT",
+            "bytes_sha256": "VARCHAR",
+        },
+    ) + " ORDER BY image_id"
+
+
+def _lossy_phash(gid: int, meta: dict) -> int:
+    from mhtml_to_html_spark.images.synth import decode_ppm, phash64
+
+    return phash64(decode_ppm(meta["bytes"]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "supplier_geo": q_supplier_geo,
+        "first_wins": q_first_wins,
+        "index_selection": q_index_selection,
+        "unfound_antijoin": q_unfound_antijoin,
+        "per_key_topk": q_per_key_topk,
+        "eligibility_filter": q_eligibility_filter,
+        "running_window": q_running_window,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "mhtml_parts": q_mhtml_parts,
+        "mhtml_registry": q_mhtml_registry,
+        "mhtml_index": q_mhtml_index,
+        "mhtml_images": q_mhtml_images,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "top_customers": """
+SELECT c_custkey, c_name, n_name,
+       round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 10""",
+        "supplier_geo": """
+SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 4) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""",
+        "first_wins": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS first_event_id,
+       event_type AS first_event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) t
+WHERE rn = 1 ORDER BY user_id""",
+        "index_selection": """
+SELECT source, CAST(doc_id AS BIGINT) AS index_doc_id, CAST(tier AS BIGINT) AS tier
+FROM (SELECT source, doc_id,
+             CASE WHEN lang = 'en' THEN 0 WHEN lang = 'es' THEN 1 ELSE 2 END AS tier,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY CASE WHEN lang = 'en' THEN 0 WHEN lang = 'es' THEN 1 ELSE 2 END, doc_id) AS rn
+      FROM documents) t
+WHERE rn = 1 ORDER BY source""",
+        "unfound_antijoin": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey""",
+        "per_key_topk": """
+SELECT event_type, CAST(rk AS BIGINT) AS rk, CAST(event_id AS BIGINT) AS event_id,
+       round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+      FROM events) t
+WHERE rk <= 3 ORDER BY event_type, rk""",
+        "eligibility_filter": """
+SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
+WHERE event_type IN ('click', 'view') AND value > 50 ORDER BY user_id""",
+        "running_window": """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events ORDER BY event_id""",
+        "dedup_exact": r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1 ORDER BY h""",
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_ngram_jaccard": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
+ORDER BY doc_a, doc_b""",
+        "dedup_simhash": _simhash_oracle(),
+        "text_tokens": rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id""",
+        "text_quality": rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         {_TOKS} AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+         round(CAST(len(list_intersect(list_distinct(toks), {_EN_STOP})) AS DOUBLE) / 10, 6) AS stopword_hit,
+         round(least(n_chars / 500.0, 1.0), 6) AS len_score
+  FROM base)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, punct_ratio, stopword_hit, len_score,
+       round((len_score + (1.0 - punct_ratio) + stopword_hit) / 3.0, 6) AS quality
+FROM feat ORDER BY doc_id""",
+        "text_langid": f"""
+WITH hits AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct({_TOKS}), {_LANG_STOP['de']})) AS hits_de,
+         len(list_intersect(list_distinct({_TOKS}), {_LANG_STOP['en']})) AS hits_en,
+         len(list_intersect(list_distinct({_TOKS}), {_LANG_STOP['es']})) AS hits_es,
+         len(list_intersect(list_distinct({_TOKS}), {_LANG_STOP['fr']})) AS hits_fr
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       CAST(greatest(hits_de, hits_en, hits_es, hits_fr) AS BIGINT) AS hits
+FROM hits ORDER BY doc_id""",
+        "text_fingerprint": r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents ORDER BY doc_id""",
+        "sim_cosine_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, {_cosine_expr('embedding', 'qv')} AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+        "sim_lsh_topk": f"""
+WITH b AS (
+  SELECT *,
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, bucket, {_cosine_expr('embedding', 'qv')} AS cosine
+FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+        "mhtml_parts": _mhtml_parts_values(),
+        "mhtml_registry": _mhtml_registry_values(),
+        "mhtml_index": _mhtml_index_values(),
+        "mhtml_images": _mhtml_images_values(),
+    }

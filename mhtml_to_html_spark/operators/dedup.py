@@ -1,0 +1,170 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the 100 TB shapes):
+- exact: one hash-partitioned groupBy on a 32-char digest — map-side
+  partial agg, no wide rows move;
+- minhash LSH: signatures are fixed-width per doc; the candidate join
+  shuffles on (band_idx, band_key) so only same-bucket docs meet —
+  never an O(n²) cross join;
+- shingle join (n-gram Jaccard) explodes shingles but aggregates to
+  pair counts immediately (map-side combine); intended for
+  within-bucket verification at scale, run here standalone on the
+  small corpus;
+- hashes are md5-based so a DuckDB oracle replays them bit-for-bit
+  (Spark xxhash64 has no portable twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+MINHASH_K = 12
+MINHASH_BAND_SIZE = 2
+
+
+def shingles_col(n: int = 3):
+    """Distinct word n-gram shingles of the lower-cased text.
+
+    Guarded: Spark's sequence(1, 0) descends, so short docs get an
+    explicitly empty array instead of a bogus [1, 0] index range.
+    """
+    toks = tokens_col()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: groups of byte-identical normalized
+    text, canonical = lowest doc_id (deterministic min, not first())."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    hashed = docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.md5(norm).alias("h"))
+    return (
+        hashed.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+        .select("h", "canonical_doc_id", "dup_count")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k portable minhashes: min over shingles of md5(shingle || '|' || i).
+    Fixed-width hex strings order like the integers they encode."""
+    sh = shingles_col().alias("shingles")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh).filter(
+        F.size("shingles") > 0
+    )
+    return base.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, F.lit(f"|{i}"))))
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ],
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE
+) -> DataFrame:
+    """LSH banding: docs agreeing on all hashes of any band become a
+    candidate pair (doc_a < doc_b). Join key is (band_idx, band_key) so
+    the shuffle only co-locates same-bucket docs."""
+    sigs = minhash_signatures(docs, k)
+    n_bands = k // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle:
+    |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|."""
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(shingles_col()).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens: per-token 16-bit value from the
+    first 4 hex chars of md5(token); signature bit b = sign of the sum
+    of (2*bit_b - 1) over tokens. Portable bit arithmetic (div/mod)."""
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens_col()).alias("tok")
+    )
+    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    with_bits = tok.select(
+        "doc_id",
+        *[
+            (((v / F.lit(2**b)).cast("long") % 2) * 2 - 1).alias(f"s{b}")
+            for b in range(bits)
+        ],
+    )
+    summed = with_bits.groupBy("doc_id").agg(
+        *[F.sum(f"s{b}").alias(f"s{b}") for b in range(bits)]
+    )
+    sig = summed.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return sig

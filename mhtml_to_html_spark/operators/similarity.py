@@ -1,0 +1,86 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the baseline (JVM-side zip_with/aggregate,
+no Python); the LSH-bucketed variant is the scale path: deterministic
+sign-buckets on leading dimensions prune the candidate set before the
+exact rerank — at 10^10 rows only the query's bucket shuffles.
+
+Dot products are summed left-to-right in both Spark and the DuckDB
+oracle (list ops are sequential) so the doubles agree bit-for-bit;
+results are rounded to 6 dp anyway for hash stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force top-k by cosine similarity to the embedding of
+    ``query_vec_id``; the 1-row query side is broadcast."""
+    query = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = embeddings.filter(F.col("vec_id") != query_vec_id).crossJoin(
+        F.broadcast(query)
+    )
+    return (
+        scored.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(cosine_similarity_col(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _sign_bucket(vec, dims: int = 4):
+    """Deterministic LSH bucket: concatenated signs of the leading dims."""
+    return F.concat_ws(
+        "", *[F.when(F.element_at(vec, i + 1) >= 0, "1").otherwise("0") for i in range(dims)]
+    )
+
+
+def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, dims: int = 4) -> DataFrame:
+    """IVF/LSH-style ANN: candidates share the query's sign-bucket;
+    exact cosine rerank within the bucket. At scale the bucket column
+    is a partition key, so the scan prunes to one bucket."""
+    bucketed = embeddings.withColumn("bucket", _sign_bucket(F.col("embedding"), dims))
+    query = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    candidates = bucketed.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(query), F.col("bucket") == F.col("qbucket")
+    )
+    return (
+        candidates.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("bucket"),
+            F.round(cosine_similarity_col(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-overlap heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + BPE-ish
+regex), and document fingerprinting. All built from JVM-side
+``pyspark.sql.functions`` — no Python in the hot path — and all
+expressible in portable SQL so DuckDB oracles can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists; deterministic, shared with the SQL
+# oracles (the corpus is synthetic, so these are the operator's contract
+# rather than a linguistic claim)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"],
+}
+
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens of the lower-cased text."""
+    return F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace count + a BPE-ish
+    regex token count (letters runs, digit runs, single punctuation)."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_col()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality signals with
+    a combined [0,1] score."""
+    n_chars = F.length("text").cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9\\s]", ""))).cast(
+        "double"
+    )
+    toks = tokens_col()
+    n_tokens = F.size(toks).cast("double")
+    stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop)).cast("double")
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 6)
+    stop_hit = F.round(n_stop / F.lit(len(LANG_STOPWORDS["en"])), 6)
+    len_score = F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 6)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_hit.alias("stopword_hit"),
+        len_score.alias("len_score"),
+        F.round((len_score + (F.lit(1.0) - punct_ratio) + stop_hit) / F.lit(3.0), 6).alias(
+            "quality"
+        ),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-overlap language guess: for each language, the number
+    of distinct tokens hitting its stopword list; highest count wins
+    (ties broken by language code)."""
+    toks = F.array_distinct(tokens_col())
+    scored = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[
+            F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words]))).alias(f"hits_{lang}")
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    langs = sorted(LANG_STOPWORDS)
+    # greatest-by: build (hits, lang) structs and take array_max — the
+    # struct comparison breaks ties by the *negated* lang rank so the
+    # alphabetically-first language wins equal scores
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"hits_{lang}").alias("hits"), F.lit(-i).alias("rank"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)
+    lang_expr = F.element_at(F.array(*[F.lit(lang) for lang in langs]), -best["rank"] + 1)
+    return scored.select(
+        "doc_id",
+        F.when(best["hits"] > 0, lang_expr).otherwise(F.lit("und")).alias("predicted_lang"),
+        best["hits"].cast("long").alias("hits"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lower-cased text (rolling-hash analogue that
+    both engines compute identically)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
