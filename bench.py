@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Includes the north-rule payload stage (archives → split → decoded
+image+caption rows) at corpus scale, the training-data operators, and
+the relational skeleton at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_BENCH_ARCHIVES = int(os.environ.get("SPARK_GRAFT_BENCH_ARCHIVES", "3000"))
+IMAGES_PER = 3
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("mhtml-to-html-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_mhtml_decode(spark, sf_dir):
+    """The payload stage: synth archives → split → extract images with
+    captions; count forces full decode of every part."""
+    from mhtml_to_html_spark.operators.images_extract import extract_images
+    from mhtml_to_html_spark.operators.split import split_archives
+    from mhtml_to_html_spark.sources.corpus import archives_df
+
+    n_parts = int(CPUS) * 2
+    archives = archives_df(spark, N_BENCH_ARCHIVES, IMAGES_PER, partitions=n_parts)
+    parts = split_archives(archives)
+    images = extract_images(parts)
+    return images.filter("caption is not null").count()
+
+
+def main():
+    import __spark_entry__ as entrymod
+
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    bench_names = [
+        "pricing_summary",
+        "top_customers",
+        "running_window",
+        "per_key_topk",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality",
+        "text_langid",
+        "sim_cosine_topk",
+        "sim_lsh_topk",
+    ]
+    timings = {}
+    total = 0.0
+    for name in bench_names:
+        start = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        n = df.count()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+
+    start = time.perf_counter()
+    n_images = bench_mhtml_decode(spark, SF_DIR)
+    decode_sec = time.perf_counter() - start
+    timings["mhtml_decode"] = round(decode_sec, 3)
+    total += decode_sec
+    # each decoded image+caption pair stands for one fetched+decoded URL
+    urls_per_sec = n_images / decode_sec if decode_sec else 0.0
+
+    result = {
+        "metric": "headline queries + MHTML decode wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "mhtml_archives": N_BENCH_ARCHIVES,
+        "decoded_images": n_images,
+        "decode_urls_per_sec": round(urls_per_sec, 1),
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

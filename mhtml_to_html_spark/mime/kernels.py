@@ -74,9 +74,7 @@ def decode_quoted_printable(data: bytes) -> bytes:
     return bytes(out)
 
 
-_B64_ALPHABET = frozenset(
-    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
-)
+_B64_ALPHABET_BYTES = b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
 _ASCII_WS = b" \t\n\f\r"
 
 
@@ -103,7 +101,8 @@ def decode_base64_checked(value: str | bytes) -> bytes | None:
             raw = raw[:-1]
     if len(raw) % 4 == 1:
         return None
-    if not all(c in _B64_ALPHABET for c in raw):
+    # C-speed alphabet check: deleting every valid byte must leave nothing
+    if raw.translate(None, _B64_ALPHABET_BYTES):
         return None
     pad = (-len(raw)) % 4
     try:

@@ -58,19 +58,21 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k portable minhashes: min over shingles of md5(shingle || '|' || i).
-    Fixed-width hex strings order like the integers they encode."""
-    sh = shingles_col().alias("shingles")
-    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh).filter(
-        F.size("shingles") > 0
+    Fixed-width hex strings order like the integers they encode.
+
+    Shape: explode shingles once, then ONE partial-aggregating groupBy
+    computing all k mins — Catalyst's projection collapse would
+    otherwise inline the whole shingle expression k times, and the
+    map-side combine means only k hashes per doc reach the shuffle.
+    """
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(shingles_col()).alias("shingle")
     )
-    return base.select(
-        "doc_id",
+    return sh.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, F.lit(f"|{i}"))))
-            ).alias(f"mh{i}")
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")))).alias(f"mh{i}")
             for i in range(k)
-        ],
+        ]
     )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 _IMG_SCHEMA = (
     "archive_id string, image_id string, bytes binary, w int, h int, "
-    "fmt string, phash long"
+    "fmt string, caption string, phash long"
 )
 
 _FMT_BY_EXT = {"ppm": "ppm", "bmp": "bmp", "raw": "raw", "lossy": "lossy"}
@@ -31,8 +31,8 @@ def _decode_batches(batches):
 
     for pdf in batches:
         rows = []
-        for archive_id, image_id, data, ext in zip(
-            pdf["archive_id"], pdf["image_id"], pdf["data"], pdf["ext"]
+        for archive_id, image_id, data, ext, caption in zip(
+            pdf["archive_id"], pdf["image_id"], pdf["data"], pdf["ext"], pdf["caption"]
         ):
             data = bytes(data)
             # sniff: magic outranks the extension, like the BOM outranks
@@ -65,11 +65,13 @@ def _decode_batches(batches):
                     "w": w,
                     "h": h,
                     "fmt": fmt,
+                    "caption": caption,
                     "phash": phash64(pixels),
                 }
             )
         yield pd.DataFrame(
-            rows, columns=["archive_id", "image_id", "bytes", "w", "h", "fmt", "phash"]
+            rows,
+            columns=["archive_id", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
         )
 
 
@@ -86,18 +88,36 @@ def extract_images(parts: DataFrame) -> DataFrame:
     ext = F.lower(F.regexp_extract(base, r"\.([^.]+)$", 1))
     ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
 
-    tagged = parts.withColumn("stem", stem).withColumn("ext", ext).withColumn("ct", ct)
-
-    image_parts = tagged.filter(
-        ct.startswith("image/")
-        | (ct.startswith("application/octet-stream") & ext.isin(list(_FMT_BY_EXT)))
-    ).select("archive_id", F.col("stem").alias("image_id"), "data", "ext")
-
-    captions = tagged.filter(ct.startswith("text/plain") & (F.col("ext") == "txt")).select(
-        "archive_id", F.col("stem").alias("image_id"), F.col("text").alias("caption")
+    is_image = ct.startswith("image/") | (
+        ct.startswith("application/octet-stream") & ext.isin(list(_FMT_BY_EXT))
     )
+    is_caption = ct.startswith("text/plain") & (ext == "txt")
 
-    decoded = image_parts.mapInPandas(_decode_batches, schema=_IMG_SCHEMA)
-    return decoded.join(captions, on=["archive_id", "image_id"], how="left").select(
+    # single pass over parts: image bytes and the sibling caption pair
+    # up in ONE partial-aggregating groupBy on (archive_id, stem) — no
+    # self-join, so the (expensive) parse lineage is evaluated once
+    paired = (
+        parts.filter(is_image | is_caption)
+        .select(
+            "archive_id",
+            stem.alias("image_id"),
+            F.when(is_image, F.col("data")).alias("img_data"),
+            F.when(is_image, ext).alias("ext"),
+            F.when(is_caption, F.col("text")).alias("caption"),
+        )
+        .groupBy("archive_id", "image_id")
+        .agg(
+            F.max("img_data").alias("data"),
+            F.max("ext").alias("ext"),
+            F.max("caption").alias("caption"),
+        )
+        .filter(F.col("data").isNotNull())
+    )
+    # caption rides through the decode UDF: one evaluation of the parse
+    # lineage end-to-end, no join afterwards
+    decoded = paired.select("archive_id", "image_id", "data", "ext", "caption").mapInPandas(
+        _decode_batches, schema=_IMG_SCHEMA
+    )
+    return decoded.select(
         "archive_id", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     )
