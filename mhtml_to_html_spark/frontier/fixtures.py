@@ -1,0 +1,139 @@
+"""Deterministic crawl fixtures: link graph + scripted fetch double.
+
+Everything derives from md5 of the canonical URL, so the oracle and
+the Spark executors compute identical worlds with no shared state and
+no network — the reference's own tests use exactly this scripted-fetch
+technique (/root/reference/test/helpers/fetch.js).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from ..urlnorm import canonicalize_url
+
+MAX_RETRIES = 2  # reference DEFAULT_MAX_RETRIES (convert.js:109)
+RETRY_BASE_DELAY_MS = 500  # convert.js:111
+MAX_RETRY_DELAY_MS = 5000  # convert.js:112
+
+
+def _h(value: str, salt: str = "") -> int:
+    return int.from_bytes(hashlib.md5((salt + value).encode("utf-8")).digest()[:8], "big")
+
+
+def seed_urls(n_hosts: int = 7, per_host: int = 3) -> list[str]:
+    """Messy seeds (case, default ports, dot segments) so the seen-set
+    keying exercises canonicalization."""
+    seeds = []
+    for h in range(n_hosts):
+        for i in range(per_host):
+            variant = (h + i) % 4
+            if variant == 0:
+                seeds.append(f"https://Host{h}.example.com:443/seed/{i}")
+            elif variant == 1:
+                seeds.append(f"https://host{h}.example.com/a/../seed/{i}")
+            elif variant == 2:
+                seeds.append(f"https://host{h}.example.com/seed/%{ord('0') + i:02X}")
+            else:
+                seeds.append(f"https://host{h}.example.com/seed/{i}")
+    return seeds
+
+
+def host_rank(host: str) -> int:
+    """Deterministic host priority (north_rule: (depth, host-rank))."""
+    return _h(host, "rank|") % 1000
+
+
+def children_of(url: str, fanout: int = 3, n_hosts: int = 7) -> list[str]:
+    """Ordered out-links of a fetched page. Mostly same-host (one hot
+    host gets extra in-links — the skew the salting handles), depth
+    grows through the path."""
+    key = canonicalize_url(url)
+    depth = key.count("/") - 2
+    if depth >= 4:
+        return []
+    base = _h(key, "children|")
+    out = []
+    for j in range(fanout):
+        hv = (base >> (j * 8)) & 0xFFFF
+        if hv % 10 < 6:  # same host
+            host = key.split("/")[2]
+        elif hv % 10 < 9:  # hot host 0 — skew
+            host = f"host0.example.com"
+        else:
+            host = f"host{hv % n_hosts}.example.com"
+        out.append(f"https://{host}/d{depth + 1}/p{(base + j * 7919) % 100000}")
+    return out
+
+
+def fetch_double(url: str, attempt: int) -> dict:
+    """Scripted outcome for (url, attempt): deterministic mix of
+    immediate 200s, transient 429/503 (with/without Retry-After),
+    permanent 404s, thrown errors, and a poisoned Retry-After > cap."""
+    key = canonicalize_url(url)
+    h = _h(key, "fetch|")
+    bucket = h % 100
+    if bucket < 70:
+        return {"status": 200}
+    if bucket < 78:  # 503 once, then ok
+        if attempt == 0:
+            return {"status": 503, "retry_after": None}
+        return {"status": 200}
+    if bucket < 84:  # 429 with Retry-After seconds, ok on 3rd try
+        if attempt < 2:
+            return {"status": 429, "retry_after": str((h >> 8) % 4 + 1)}
+        return {"status": 200}
+    if bucket < 89:  # hard 404 — non-transient, fail immediately
+        return {"status": 404}
+    if bucket < 93:  # always 503 — exhausts retries
+        return {"status": 503, "retry_after": None}
+    if bucket < 96:  # thrown error once, then ok
+        if attempt == 0:
+            return {"status": -1}  # -1 = throw
+        return {"status": 200}
+    # Retry-After beyond the 5000ms cap ⇒ give up immediately
+    return {"status": 429, "retry_after": "99"}
+
+
+def backoff_delay_ms(attempt: int) -> int:
+    """500ms * 2^attempt capped at 5000ms (convert.js:226-228)."""
+    return min(RETRY_BASE_DELAY_MS * (2**attempt), MAX_RETRY_DELAY_MS)
+
+
+def retry_delay_ms(outcome: dict, attempt: int) -> int | None:
+    """Reference getRetryDelay (convert.js:206-213): Retry-After wins;
+    unparsable or > cap ⇒ None (give up); else exponential backoff."""
+    retry_after = outcome.get("retry_after")
+    if retry_after is not None:
+        try:
+            delay = max(0, int(float(retry_after) * 1000))
+        except ValueError:
+            return None
+        return None if delay > MAX_RETRY_DELAY_MS else delay
+    return backoff_delay_ms(attempt)
+
+
+def is_transient(status: int) -> bool:
+    """429 or 500-599 or thrown (convert.js:202-204)."""
+    return status == 429 or (500 <= status <= 599) or status == -1
+
+
+def fetch_with_retries(url: str, max_retries: int = MAX_RETRIES) -> tuple[str, int, int]:
+    """One URL through the reference retry loop (virtual time).
+    Returns (final_status 'ok'|'failed', attempts, total_delay_ms)."""
+    total_delay = 0
+    attempt = 0
+    while True:
+        outcome = fetch_double(url, attempt)
+        status = outcome["status"]
+        if status == 200:
+            return "ok", attempt + 1, total_delay
+        if status != -1 and not is_transient(status):
+            return "failed", attempt + 1, total_delay
+        delay = (
+            backoff_delay_ms(attempt) if status == -1 else retry_delay_ms(outcome, attempt)
+        )
+        if delay is None or attempt >= max_retries:
+            return "failed", attempt + 1, total_delay
+        total_delay += delay
+        attempt += 1

@@ -1,0 +1,126 @@
+"""Pure-Python crawl oracle — the byte-for-byte ordering contract.
+
+Semantics transcribed from the reference scheduler
+(/root/reference/lib/convert.js:129-228) and extended per the
+north_rule:
+
+- round fixpoint: discovered links minus (seen ∪ failed) form the next
+  round (F1); termination when the frontier drains;
+- exactly-once per canonical URL across all rounds (R6; seen-set keyed
+  on canonicalize_url);
+- within-round dedup keeps the FIRST discovery (addMissingResource,
+  convert.js:810-814);
+- fetch eligibility: http/https/urn only; urn payload unwrapped (U6);
+- priority order within a round: (depth, host_rank, discovery_seq) —
+  the north-rule salted priority queue's logical order;
+- politeness: at most ``host_budget`` fetches per host per round;
+  overflow is DEFERRED to the next round (token-bucket crawl delay in
+  round units);
+- retries: transient = 429/5xx/throw; exponential 500·2^n capped 5s;
+  Retry-After honored, > cap ⇒ immediate give-up; max 2 retries (F4);
+- failures enter a deny-list and are never re-attempted (F5).
+
+The Spark frontier must reproduce ``order`` (the fetch sequence),
+``seen`` and ``failed`` exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..urlnorm import canonicalize_url, is_fetchable, unwrap_urn, url_host
+from .fixtures import children_of, fetch_with_retries, host_rank
+
+
+@dataclass
+class CrawlResult:
+    order: list[dict] = field(default_factory=list)  # fetch sequence
+    seen: set[str] = field(default_factory=set)
+    failed: set[str] = field(default_factory=set)
+    metrics: list[dict] = field(default_factory=list)  # per round
+
+
+def crawl_oracle(
+    seeds: list[str],
+    max_rounds: int = 6,
+    host_budget: int = 8,
+    max_retries: int = 2,
+    fanout: int = 3,
+) -> CrawlResult:
+    result = CrawlResult()
+    # frontier rows: (url, depth, disc_seq) — disc_seq is the global
+    # discovery counter, the deterministic tiebreaker
+    frontier: list[tuple[str, int, int]] = []
+    disc = 0
+    for url in seeds:
+        if is_fetchable(url):
+            frontier.append((unwrap_urn(url), 0, disc))
+            disc += 1
+
+    for round_idx in range(max_rounds):
+        if not frontier:
+            break
+        # within-round first-discovery dedup on the canonical key,
+        # skipping seen & failed
+        candidates: list[tuple[str, str, int, int]] = []  # (key, url, depth, seq)
+        in_round: set[str] = set()
+        for url, depth, seq in frontier:
+            key = canonicalize_url(url)
+            if key in result.seen or key in result.failed or key in in_round:
+                continue
+            in_round.add(key)
+            candidates.append((key, url, depth, seq))
+        # priority order: (depth, host_rank, discovery_seq)
+        candidates.sort(key=lambda c: (c[2], host_rank(url_host(c[0]) or ""), c[3]))
+        # politeness: first `host_budget` per host fetch this round
+        per_host: dict[str, int] = {}
+        fetch_now: list[tuple[str, str, int, int]] = []
+        deferred: list[tuple[str, int, int]] = []
+        for key, url, depth, seq in candidates:
+            host = url_host(key) or ""
+            n = per_host.get(host, 0)
+            if n < host_budget:
+                per_host[host] = n + 1
+                fetch_now.append((key, url, depth, seq))
+            else:
+                deferred.append((url, depth, seq))
+
+        discovered: list[tuple[str, int, int]] = []
+        n_ok = n_failed = n_attempts = total_delay = 0
+        for pos, (key, url, depth, seq) in enumerate(fetch_now):
+            status, attempts, delay_ms = fetch_with_retries(key, max_retries)
+            n_attempts += attempts
+            total_delay += delay_ms
+            result.order.append(
+                {
+                    "round": round_idx,
+                    "pos": pos,
+                    "url": key,
+                    "depth": depth,
+                    "status": status,
+                    "attempts": attempts,
+                }
+            )
+            if status == "ok":
+                result.seen.add(key)
+                n_ok += 1
+                for child in children_of(key, fanout):
+                    if is_fetchable(child):
+                        discovered.append((child, depth + 1, disc))
+                        disc += 1
+            else:
+                result.failed.add(key)
+                n_failed += 1
+        result.metrics.append(
+            {
+                "round": round_idx,
+                "fetched": len(fetch_now),
+                "ok": n_ok,
+                "failed": n_failed,
+                "attempts": n_attempts,
+                "deferred": len(deferred),
+                "virtual_delay_ms": total_delay,
+            }
+        )
+        frontier = deferred + discovered
+    return result

@@ -1,0 +1,386 @@
+"""Distributed URL frontier: driver fixpoint loop over DataFrames.
+
+Each round (the Spark shape of SURVEY.md §3.3):
+
+    frontier ──canonicalize──▶ dedup-first (window on key)
+             ──bloom prune + exact anti-join──▶ new candidates
+             ──salted repartitionByRange + secondary sort──▶ priority
+             ──per-host budget window──▶ fetch_now / deferred
+             ──fetch UDF (scripted double, retry/backoff)──▶ results
+             ──explode children──▶ discovered
+    seen/failed/metrics updated; snapshot checkpoint; repeat.
+
+Determinism contract: every "first" and every position is derived from
+explicit columns (depth, host_rank, disc_seq) — the pure-Python oracle
+(oracle.py) replays the same semantics and the outputs must match
+byte-for-byte (tests/test_frontier.py).
+
+Scale notes:
+- the seen-set probe is bloom-pruned (``bloom_filter_agg`` /
+  ``might_contain``) so at 10^10 URLs the exact anti-join only sees
+  the maybe-seen sliver; the exact join keeps the crawl
+  false-positive-free (a bloom hit never silently drops a URL);
+- the priority queue is repartitionByRange on (depth, host_rank,
+  salt) + sortWithinPartitions: ranges keep the global order readable
+  per partition, the salt splits hot hosts (skew);
+- the global fetch position exists only for the ordering contract; the
+  crawl itself needs order only WITHIN host (politeness) and the
+  priority ranges, so nothing at scale ever single-partitions except
+  the tiny per-round fetch manifest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import SnapshotCatalog
+
+_FRONTIER_SCHEMA = "url string, depth int, disc_seq long"
+_CANON_SCHEMA = "url string, depth int, disc_seq long, key string, host string, host_rank int"
+_FETCH_SCHEMA = (
+    "key string, depth int, disc_seq long, pos long, status string, attempts int, "
+    "delay_ms long, h64 long"
+)
+_CHILD_SCHEMA = "parent_pos long, child_idx int, url string, depth int"
+
+
+def _canonicalize_batches(batches):
+    import pandas as pd
+
+    from ..urlnorm import canonicalize_url, url_host
+    from .fixtures import host_rank
+
+    for pdf in batches:
+        keys = [canonicalize_url(u) for u in pdf["url"]]
+        hosts = [url_host(k) or "" for k in keys]
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "depth": pdf["depth"],
+                "disc_seq": pdf["disc_seq"],
+                "key": keys,
+                "host": hosts,
+                "host_rank": [host_rank(h) for h in hosts],
+            }
+        )
+
+
+_BLOOM_BITS = 1 << 20
+
+
+def _partial_bloom_batches(batches):
+    """Per-partition counting-Bloom build over h64 keys → one blob row
+    per batch; the driver merges blobs by saturating counter add."""
+    import pandas as pd
+
+    from .seenset import CountingBloom
+
+    bloom = CountingBloom(_BLOOM_BITS, 4)
+    saw = False
+    for pdf in batches:
+        for h in pdf["h64"]:
+            bloom.add(int(h) & 0xFFFFFFFFFFFFFFFF)
+            saw = True
+    if saw:
+        yield pd.DataFrame({"blob": [bloom.to_bytes()]})
+    else:
+        yield pd.DataFrame({"blob": pd.Series([], dtype=object)})
+
+
+def build_bloom_distributed(seen_all: DataFrame):
+    """Distributed counting-Bloom over the seen set: partial filters
+    per partition, merged on the driver (counters add, saturating).
+    At 10^10 keys this is the shard-build loop of the north_rule's
+    partitioned structure; here shards collapse into one broadcastable
+    blob."""
+    import numpy as np
+
+    from .seenset import CountingBloom
+
+    blobs = seen_all.select("h64").mapInPandas(
+        _partial_bloom_batches, schema="blob binary"
+    ).collect()
+    merged = CountingBloom(_BLOOM_BITS, 4)
+    for row in blobs:
+        part = CountingBloom.from_bytes(bytes(row["blob"]))
+        total = merged.counts.astype(np.uint16) + part.counts.astype(np.uint16)
+        merged.counts = np.minimum(total, 255).astype(np.uint8)
+    return merged
+
+
+def _probe_bloom_batches_factory(bloom_blob: bytes):
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .seenset import CountingBloom, url_hash64
+
+        bloom = CountingBloom.from_bytes(bloom_blob)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+                continue
+            hs = np.array([url_hash64(k) for k in pdf["key"]], dtype=np.uint64)
+            yield pdf.assign(maybe_seen=bloom.might_contain_many(hs))
+
+    return probe
+
+
+def _fetch_batches(batches):
+    import pandas as pd
+
+    from .fixtures import fetch_with_retries
+    from .seenset import url_hash64
+
+    for pdf in batches:
+        rows = []
+        for key, depth, disc_seq, pos in zip(pdf["key"], pdf["depth"], pdf["disc_seq"], pdf["pos"]):
+            status, attempts, delay_ms = fetch_with_retries(key)
+            h64 = url_hash64(key)
+            rows.append(
+                {
+                    "key": key,
+                    "depth": int(depth),
+                    "disc_seq": int(disc_seq),
+                    "pos": int(pos),
+                    "status": status,
+                    "attempts": attempts,
+                    "delay_ms": delay_ms,
+                    # signed two's-complement so the value fits LongType
+                    "h64": h64 - (1 << 64) if h64 >= 1 << 63 else h64,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["key", "depth", "disc_seq", "pos", "status", "attempts", "delay_ms", "h64"],
+        )
+
+
+def _children_batches(batches):
+    import pandas as pd
+
+    from ..urlnorm import is_fetchable
+    from .fixtures import children_of
+
+    for pdf in batches:
+        rows = []
+        for pos, key, depth in zip(pdf["pos"], pdf["key"], pdf["depth"]):
+            for j, child in enumerate(children_of(key)):
+                if is_fetchable(child):
+                    rows.append(
+                        {
+                            "parent_pos": int(pos),
+                            "child_idx": j,
+                            "url": child,
+                            "depth": int(depth) + 1,
+                        }
+                    )
+        yield pd.DataFrame(rows, columns=["parent_pos", "child_idx", "url", "depth"])
+
+
+@dataclass
+class SparkCrawlResult:
+    order: list[dict] = field(default_factory=list)
+    seen: set[str] = field(default_factory=set)
+    failed: set[str] = field(default_factory=set)
+    metrics: list[dict] = field(default_factory=list)
+    snapshots: list[int] = field(default_factory=list)
+
+
+def crawl_spark(
+    spark: SparkSession,
+    seeds: list[str],
+    max_rounds: int = 6,
+    host_budget: int = 8,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    salt_buckets: int = 4,
+    collect_order: bool = True,
+) -> SparkCrawlResult:
+    """Run the crawl to fixpoint (or ``max_rounds``); optionally
+    checkpoint each round to ``checkpoint_dir`` and resume from the
+    latest snapshot there."""
+    from ..urlnorm import is_fetchable, unwrap_urn
+
+    result = SparkCrawlResult()
+    catalog = SnapshotCatalog(checkpoint_dir) if checkpoint_dir else None
+
+    empty_seen = spark.createDataFrame([], "key string, h64 long")
+    start_round = 0
+    disc_total = 0
+
+    if resume and catalog is not None and catalog.latest() is not None:
+        manifest = catalog.latest()
+        snap = manifest["snapshot_id"]
+        frontier = catalog.load_table(spark, snap, "frontier")
+        seen = catalog.load_table(spark, snap, "seen")
+        failed = catalog.load_table(spark, snap, "failed")
+        start_round = manifest["round"] + 1
+        disc_total = manifest["metrics"]["disc_total"]
+        order_acc = catalog.load_table(spark, snap, "order")
+        result.metrics = manifest["metrics"].get("rounds", [])
+    else:
+        rows = []
+        for url in seeds:
+            if is_fetchable(url):
+                rows.append((unwrap_urn(url), 0, disc_total))
+                disc_total += 1
+        frontier = spark.createDataFrame(rows, _FRONTIER_SCHEMA)
+        seen = empty_seen
+        failed = empty_seen
+        order_acc = spark.createDataFrame(
+            [], "round int, pos long, url string, depth int, status string, attempts int"
+        )
+
+    for round_idx in range(start_round, max_rounds):
+        if frontier.limit(1).count() == 0:
+            break
+        # 1. canonicalize + host metadata (one vectorized UDF pass)
+        canon = frontier.mapInPandas(_canonicalize_batches, schema=_CANON_SCHEMA)
+
+        # 2. within-round first-discovery dedup: explicit order, never
+        #    dropDuplicates (shuffle-order-unstable)
+        w_first = Window.partitionBy("key").orderBy("disc_seq")
+        deduped = canon.withColumn("rn", F.row_number().over(w_first)).filter(F.col("rn") == 1).drop("rn")
+
+        # 3. seen/failed pruning: the counting-Bloom prunes (definitely
+        #    new URLs skip the shuffle entirely); the exact anti-join
+        #    verifies the maybe-seen sliver, keeping the crawl
+        #    false-positive-free
+        seen_all = seen.unionByName(failed)
+        if seen_all.limit(1).count() > 0:
+            bloom = build_bloom_distributed(seen_all)
+            probed = deduped.mapInPandas(
+                _probe_bloom_batches_factory(bloom.to_bytes()),
+                schema=_CANON_SCHEMA + ", maybe_seen boolean",
+            )
+            definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            verified_new = maybe.join(seen_all.select("key"), "key", "left_anti")
+            candidates = definite_new.unionByName(verified_new)
+        else:
+            candidates = deduped
+
+        # 4. priority queue: salted range partitioning + secondary sort
+        #    (the physical order); politeness + positions derive from
+        #    the same explicit (depth, host_rank, disc_seq) columns
+        salt = (F.xxhash64("key") % salt_buckets).cast("int")
+        prioritized = candidates.withColumn("salt", salt).repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 4),
+            "depth",
+            "host_rank",
+            "salt",
+        ).sortWithinPartitions("depth", "host_rank", "disc_seq")
+
+        # 5. politeness: per-host budget, overflow deferred to next round
+        w_host = Window.partitionBy("host").orderBy("depth", "host_rank", "disc_seq")
+        budgeted = prioritized.withColumn("host_pos", F.row_number().over(w_host))
+        fetch_now = budgeted.filter(F.col("host_pos") <= host_budget)
+        deferred = budgeted.filter(F.col("host_pos") > host_budget).select(
+            "url", "depth", "disc_seq"
+        )
+
+        # 6. global fetch position (ordering-contract artifact; the
+        #    per-round fetch manifest is budget×hosts rows, tiny)
+        w_global = Window.orderBy("depth", "host_rank", "disc_seq")
+        manifest_df = fetch_now.withColumn("pos", F.row_number().over(w_global) - 1)
+
+        # 7. fetch (scripted double, retry/backoff inside the UDF)
+        fetched = manifest_df.select("key", "depth", "disc_seq", "pos").mapInPandas(
+            _fetch_batches, schema=_FETCH_SCHEMA
+        )
+        fetched = fetched.localCheckpoint(eager=True)
+
+        # 8. link discovery from ok fetches; disc_seq continues the
+        #    global counter in (parent_pos, child_idx) order
+        ok = fetched.filter(F.col("status") == "ok")
+        children = ok.select("pos", "key", "depth").mapInPandas(
+            _children_batches, schema=_CHILD_SCHEMA
+        )
+        w_child = Window.orderBy("parent_pos", "child_idx")
+        discovered = children.withColumn(
+            "disc_seq", (F.row_number().over(w_child) - 1 + F.lit(disc_total)).cast("long")
+        ).select("url", "depth", "disc_seq")
+
+        # 9. state updates
+        new_seen = ok.select("key", "h64")
+        new_failed = fetched.filter(F.col("status") != "ok").select("key", "h64")
+        seen = seen.unionByName(new_seen)
+        failed = failed.unionByName(new_failed)
+
+        round_order = fetched.select(
+            F.lit(round_idx).alias("round"),
+            "pos",
+            F.col("key").alias("url"),
+            "depth",
+            "status",
+            "attempts",
+        )
+        order_acc = order_acc.unionByName(round_order)
+
+        stats = fetched.agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("failed"),
+            F.sum("attempts").alias("attempts"),
+            F.sum("delay_ms").alias("virtual_delay_ms"),
+        ).collect()[0]
+        n_discovered = discovered.count()
+        n_deferred = deferred.count()
+        disc_total += n_discovered
+        round_metrics = {
+            "round": round_idx,
+            "fetched": stats["fetched"],
+            "ok": stats["ok"] or 0,
+            "failed": stats["failed"] or 0,
+            "attempts": stats["attempts"] or 0,
+            "deferred": n_deferred,
+            "virtual_delay_ms": stats["virtual_delay_ms"] or 0,
+        }
+        result.metrics.append(round_metrics)
+
+        frontier = deferred.unionByName(discovered)
+
+        # 10. checkpoint: snapshot cuts lineage AND makes the crawl
+        #     resumable with per-partition manifest lineage
+        if catalog is not None:
+            snap = catalog.write_snapshot(
+                {
+                    "frontier": frontier,
+                    "seen": seen,
+                    "failed": failed,
+                    "order": order_acc,
+                },
+                metrics={"rounds": result.metrics, "disc_total": disc_total, **round_metrics},
+                round_idx=round_idx,
+            )
+            result.snapshots.append(snap)
+            frontier = catalog.load_table(spark, snap, "frontier")
+            seen = catalog.load_table(spark, snap, "seen")
+            failed = catalog.load_table(spark, snap, "failed")
+            order_acc = catalog.load_table(spark, snap, "order")
+        else:
+            frontier = frontier.localCheckpoint(eager=True)
+            seen = seen.localCheckpoint(eager=True)
+            failed = failed.localCheckpoint(eager=True)
+            order_acc = order_acc.localCheckpoint(eager=True)
+
+    if collect_order:
+        for row in order_acc.orderBy("round", "pos").collect():
+            result.order.append(
+                {
+                    "round": row["round"],
+                    "pos": row["pos"],
+                    "url": row["url"],
+                    "depth": row["depth"],
+                    "status": row["status"],
+                    "attempts": row["attempts"],
+                }
+            )
+        result.seen = {r["key"] for r in seen.select("key").collect()}
+        result.failed = {r["key"] for r in failed.select("key").collect()}
+    return result

