@@ -46,6 +46,7 @@ def crawl_oracle(
     host_budget: int = 8,
     max_retries: int = 2,
     fanout: int = 3,
+    n_hosts: int = 7,
 ) -> CrawlResult:
     result = CrawlResult()
     # frontier rows: (url, depth, disc_seq) — disc_seq is the global
@@ -104,7 +105,7 @@ def crawl_oracle(
             if status == "ok":
                 result.seen.add(key)
                 n_ok += 1
-                for child in children_of(key, fanout):
+                for child in children_of(key, fanout, n_hosts):
                     if is_fetchable(child):
                         discovered.append((child, depth + 1, disc))
                         disc += 1

@@ -31,8 +31,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -130,17 +130,44 @@ def _probe_bloom_batches_factory(bloom_blob: bytes):
     return probe
 
 
-def _fetch_batches(batches):
+def _fetch_batches(
+    batches,
+    decode_payload: bool = False,
+    payload_images: int = 2,
+    payload_scale: int = 1,
+    hold_ms: int = 0,
+):
+    import functools as _ft
+    import time as _t
+
     import pandas as pd
 
     from .fixtures import fetch_with_retries
     from .seenset import url_hash64
+
+    if decode_payload:
+        from ..mime.splitter import parse_mhtml
+        from ..sources.corpus import build_archive
+
+        # corpus synthesis stands in for the network body; production
+        # never pays it, so amortize it per worker over a bounded pool
+        # of distinct archives (the DECODE runs per URL, uncached —
+        # that is the measured work)
+        cached_build = _ft.lru_cache(maxsize=64)(build_archive)
 
     for pdf in batches:
         rows = []
         for key, depth, disc_seq, pos in zip(pdf["key"], pdf["depth"], pdf["disc_seq"], pdf["pos"]):
             status, attempts, delay_ms = fetch_with_retries(key)
             h64 = url_hash64(key)
+            if hold_ms:
+                # per-attempt service-time hold, the reference's own
+                # benchmarking technique (test/concurrency.test.js:56-63)
+                _t.sleep(attempts * hold_ms / 1000.0)
+            if decode_payload and status == "ok":
+                # the fetched body IS an MHTML archive: run the payload
+                # stage inline (north-rule metric: URLs fetched+DECODED)
+                parse_mhtml(cached_build(h64 % 64, payload_images, payload_scale))
             rows.append(
                 {
                     "key": key,
@@ -160,7 +187,7 @@ def _fetch_batches(batches):
         )
 
 
-def _children_batches(batches):
+def _children_batches(batches, fanout: int = 3, n_hosts: int = 7):
     import pandas as pd
 
     from ..urlnorm import is_fetchable
@@ -169,7 +196,7 @@ def _children_batches(batches):
     for pdf in batches:
         rows = []
         for pos, key, depth in zip(pdf["pos"], pdf["key"], pdf["depth"]):
-            for j, child in enumerate(children_of(key)):
+            for j, child in enumerate(children_of(key, fanout, n_hosts)):
                 if is_fetchable(child):
                     rows.append(
                         {
@@ -200,6 +227,14 @@ def crawl_spark(
     resume: bool = False,
     salt_buckets: int = 4,
     collect_order: bool = True,
+    decode_payload: bool = False,
+    fanout: int = 3,
+    n_hosts: int = 7,
+    payload_images: int = 2,
+    payload_scale: int = 1,
+    hold_ms: int = 0,
+    range_partition_threshold: int = 50_000,
+    verbose: bool = False,
 ) -> SparkCrawlResult:
     """Run the crawl to fixpoint (or ``max_rounds``); optionally
     checkpoint each round to ``checkpoint_dir`` and resume from the
@@ -236,9 +271,18 @@ def crawl_spark(
             [], "round int, pos long, url string, depth int, status string, attempts int"
         )
 
+    # driver-held incremental counting-Bloom over seen ∪ failed: each
+    # round adds only the newly fetched keys (budget-bounded, tiny); on
+    # resume it is rebuilt distributed from the checkpointed state
+    from .seenset import CountingBloom
+
+    bloom = CountingBloom(_BLOOM_BITS, 4)
+    have_seen = start_round > 0
+    if have_seen:
+        bloom = build_bloom_distributed(seen.unionByName(failed))
+    expected_frontier = frontier.count()
+
     for round_idx in range(start_round, max_rounds):
-        if frontier.limit(1).count() == 0:
-            break
         # 1. canonicalize + host metadata (one vectorized UDF pass)
         canon = frontier.mapInPandas(_canonicalize_batches, schema=_CANON_SCHEMA)
 
@@ -251,9 +295,8 @@ def crawl_spark(
         #    new URLs skip the shuffle entirely); the exact anti-join
         #    verifies the maybe-seen sliver, keeping the crawl
         #    false-positive-free
-        seen_all = seen.unionByName(failed)
-        if seen_all.limit(1).count() > 0:
-            bloom = build_bloom_distributed(seen_all)
+        if have_seen:
+            seen_all = seen.unionByName(failed)
             probed = deduped.mapInPandas(
                 _probe_bloom_batches_factory(bloom.to_bytes()),
                 schema=_CANON_SCHEMA + ", maybe_seen boolean",
@@ -267,18 +310,37 @@ def crawl_spark(
 
         # 4. priority queue: salted range partitioning + secondary sort
         #    (the physical order); politeness + positions derive from
-        #    the same explicit (depth, host_rank, disc_seq) columns
-        salt = (F.xxhash64("key") % salt_buckets).cast("int")
-        prioritized = candidates.withColumn("salt", salt).repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 4),
-            "depth",
-            "host_rank",
-            "salt",
-        ).sortWithinPartitions("depth", "host_rank", "disc_seq")
+        #    the same explicit (depth, host_rank, disc_seq) columns.
+        #    repartitionByRange costs a sampling pass over the input, so
+        #    it is applied adaptively: only once the frontier is big
+        #    enough that range-clustered partitions pay for themselves
+        #    (at 10^10 that is every round; at test scale it would be
+        #    pure overhead). The LOGICAL order never depends on it —
+        #    the windows sort on the same explicit keys.
+        if expected_frontier >= range_partition_threshold:
+            salt = (F.xxhash64("key") % salt_buckets).cast("int")
+            prioritized = candidates.withColumn("salt", salt).repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 4),
+                "depth",
+                "host_rank",
+                "salt",
+            ).sortWithinPartitions("depth", "host_rank", "disc_seq").drop("salt")
+        else:
+            prioritized = candidates
 
-        # 5. politeness: per-host budget, overflow deferred to next round
+        # 5. politeness: per-host budget, overflow deferred to next
+        #    round. Materialize ONCE — everything downstream (fetch
+        #    manifest, deferred frontier, counts) derives from this
+        #    single evaluation of the round pipeline.
+        import time as _time
+
+        _t0 = _time.perf_counter()
         w_host = Window.partitionBy("host").orderBy("depth", "host_rank", "disc_seq")
         budgeted = prioritized.withColumn("host_pos", F.row_number().over(w_host))
+        budgeted = budgeted.localCheckpoint(eager=True)
+        _t1 = _time.perf_counter()
+        if budgeted.limit(1).count() == 0:
+            break
         fetch_now = budgeted.filter(F.col("host_pos") <= host_budget)
         deferred = budgeted.filter(F.col("host_pos") > host_budget).select(
             "url", "depth", "disc_seq"
@@ -289,28 +351,53 @@ def crawl_spark(
         w_global = Window.orderBy("depth", "host_rank", "disc_seq")
         manifest_df = fetch_now.withColumn("pos", F.row_number().over(w_global) - 1)
 
-        # 7. fetch (scripted double, retry/backoff inside the UDF)
-        fetched = manifest_df.select("key", "depth", "disc_seq", "pos").mapInPandas(
-            _fetch_batches, schema=_FETCH_SCHEMA
+        # 7. fetch (scripted double, retry/backoff inside the UDF) —
+        #    repartition the manifest so the politeness-bounded fetch
+        #    set spreads across every core, then materialize once
+        fetch_fn = functools.partial(
+            _fetch_batches,
+            decode_payload=decode_payload,
+            payload_images=payload_images,
+            payload_scale=payload_scale,
+            hold_ms=hold_ms,
+        )
+        # 4 waves of tasks per slot: hash partitioning is only
+        # approximately even, and with one wave the slowest partition
+        # IS the stage time — finer tasks cut the straggler tail
+        n_par = max(spark.sparkContext.defaultParallelism, 4) * 4
+        fetched = (
+            manifest_df.select("key", "depth", "disc_seq", "pos")
+            .repartition(n_par, "key")
+            .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
         fetched = fetched.localCheckpoint(eager=True)
+        _t2 = _time.perf_counter()
 
         # 8. link discovery from ok fetches; disc_seq continues the
         #    global counter in (parent_pos, child_idx) order
         ok = fetched.filter(F.col("status") == "ok")
+        children_fn = functools.partial(_children_batches, fanout=fanout, n_hosts=n_hosts)
         children = ok.select("pos", "key", "depth").mapInPandas(
-            _children_batches, schema=_CHILD_SCHEMA
+            children_fn, schema=_CHILD_SCHEMA
         )
         w_child = Window.orderBy("parent_pos", "child_idx")
         discovered = children.withColumn(
             "disc_seq", (F.row_number().over(w_child) - 1 + F.lit(disc_total)).cast("long")
         ).select("url", "depth", "disc_seq")
 
-        # 9. state updates
+        # 9. state updates: the round's fetch rows are budget-bounded,
+        #    so they come to the driver for metrics, order accounting
+        #    and the incremental bloom add — one collect, no extra jobs
+        fetch_rows = fetched.select(
+            "pos", "key", "depth", "status", "attempts", "delay_ms", "h64"
+        ).collect()
         new_seen = ok.select("key", "h64")
         new_failed = fetched.filter(F.col("status") != "ok").select("key", "h64")
         seen = seen.unionByName(new_seen)
         failed = failed.unionByName(new_failed)
+        for row in fetch_rows:
+            bloom.add(row["h64"] & 0xFFFFFFFFFFFFFFFF)
+        have_seen = True
 
         round_order = fetched.select(
             F.lit(round_idx).alias("round"),
@@ -322,31 +409,35 @@ def crawl_spark(
         )
         order_acc = order_acc.unionByName(round_order)
 
-        stats = fetched.agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("failed"),
-            F.sum("attempts").alias("attempts"),
-            F.sum("delay_ms").alias("virtual_delay_ms"),
-        ).collect()[0]
+        n_fetched = len(fetch_rows)
+        n_ok = sum(1 for r in fetch_rows if r["status"] == "ok")
+        n_deferred = budgeted.filter(F.col("host_pos") > host_budget).count()
         n_discovered = discovered.count()
-        n_deferred = deferred.count()
         disc_total += n_discovered
+        expected_frontier = n_deferred + n_discovered
         round_metrics = {
             "round": round_idx,
-            "fetched": stats["fetched"],
-            "ok": stats["ok"] or 0,
-            "failed": stats["failed"] or 0,
-            "attempts": stats["attempts"] or 0,
+            "fetched": n_fetched,
+            "ok": n_ok,
+            "failed": n_fetched - n_ok,
+            "attempts": sum(r["attempts"] for r in fetch_rows),
             "deferred": n_deferred,
-            "virtual_delay_ms": stats["virtual_delay_ms"] or 0,
+            "virtual_delay_ms": sum(r["delay_ms"] for r in fetch_rows),
         }
         result.metrics.append(round_metrics)
+        if verbose:
+            print(
+                f"round {round_idx}: pipeline={_t1 - _t0:.2f}s fetch={_t2 - _t1:.2f}s "
+                f"post={_time.perf_counter() - _t2:.2f}s fetched={n_fetched}",
+                flush=True,
+            )
 
         frontier = deferred.unionByName(discovered)
 
         # 10. checkpoint: snapshot cuts lineage AND makes the crawl
-        #     resumable with per-partition manifest lineage
+        #     resumable with per-partition manifest lineage; without a
+        #     catalog, `budgeted`/`fetched` are already materialized so
+        #     the next round's lineage stays one round deep
         if catalog is not None:
             snap = catalog.write_snapshot(
                 {
@@ -363,11 +454,6 @@ def crawl_spark(
             seen = catalog.load_table(spark, snap, "seen")
             failed = catalog.load_table(spark, snap, "failed")
             order_acc = catalog.load_table(spark, snap, "order")
-        else:
-            frontier = frontier.localCheckpoint(eager=True)
-            seen = seen.localCheckpoint(eager=True)
-            failed = failed.localCheckpoint(eager=True)
-            order_acc = order_acc.localCheckpoint(eager=True)
 
     if collect_order:
         for row in order_acc.orderBy("round", "pos").collect():

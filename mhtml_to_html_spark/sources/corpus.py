@@ -44,11 +44,13 @@ def _encode_single_byte(value: str, codec: str) -> bytes:
     return value.encode(codec)
 
 
-def image_meta(global_img_id: int) -> dict:
-    """Golden row for one image (input_hint schema)."""
+def image_meta(global_img_id: int, dim_scale: int = 1) -> dict:
+    """Golden row for one image (input_hint schema). ``dim_scale``
+    multiplies the dimensions (bench corpora use web-realistic sizes;
+    the correctness corpus keeps scale 1)."""
     rng = np.random.default_rng(7_000 + global_img_id)
-    w = int(rng.integers(16, 48))
-    h = int(rng.integers(12, 40))
+    w = int(rng.integers(16, 48)) * dim_scale
+    h = int(rng.integers(12, 40)) * dim_scale
     fmt = _FMTS[global_img_id % len(_FMTS)]
     pixels = synth_image(global_img_id, w, h)
     data = encode_image(pixels, fmt)
@@ -68,7 +70,7 @@ def images_rows(n_archives: int, images_per_archive: int = 3) -> Iterator[dict]:
         yield image_meta(i)
 
 
-def build_archive(archive_idx: int, images_per_archive: int = 3) -> bytes:
+def build_archive(archive_idx: int, images_per_archive: int = 3, dim_scale: int = 1) -> bytes:
     """One archive: an index document + per-image (image part, caption
     part) pairs; eol / charset / transfer-encoding vary by index."""
     boundary = f"----=_Part_{archive_idx:06d}"
@@ -111,7 +113,7 @@ def build_archive(archive_idx: int, images_per_archive: int = 3) -> bytes:
         doc_body,
     ]
     for gid in img_ids:
-        meta = image_meta(gid)
+        meta = image_meta(gid, dim_scale)
         fmt = meta["fmt"]
         ct = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp", "raw": "application/octet-stream", "lossy": "image/x-portable-pixmap"}[fmt]
         b64 = base64.b64encode(meta["bytes"]).decode("ascii")

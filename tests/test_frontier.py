@@ -84,6 +84,24 @@ def test_spark_matches_oracle(spark, oracle_result, tmp_path):
 
 
 @pytest.mark.spark
+def test_spark_matches_oracle_with_range_partitioning(spark, oracle_result):
+    """The salted repartitionByRange physical path (forced on) must not
+    change the logical crawl order."""
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    res = crawl_spark(
+        spark,
+        SEEDS,
+        max_rounds=MAX_ROUNDS,
+        host_budget=BUDGET,
+        range_partition_threshold=0,
+    )
+    assert res.order == oracle_result.order
+    assert res.seen == oracle_result.seen
+    assert res.failed == oracle_result.failed
+
+
+@pytest.mark.spark
 def test_spark_resume_from_checkpoint(spark, oracle_result, tmp_path):
     from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
 
