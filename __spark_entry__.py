@@ -308,6 +308,73 @@ def q_mhtml_index(spark, sf_dir):
     )
 
 
+def q_mhtml_anomalies(spark, sf_dir):
+    """Anomaly accounting over a corpus of deliberately malformed
+    archives (boundary recovery, missing delimiters, mislabeled
+    documents, undecodable base64)."""
+    from pyspark.sql import Row
+
+    from mhtml_to_html_spark.operators.split import split_archives
+
+    archives = [Row(archive_id=f"bad_{i}", content=bytearray(raw)) for i, raw in enumerate(_malformed_corpus())]
+    df = spark.createDataFrame(archives)
+    parts = split_archives(df)
+    return (
+        parts.select("archive_id", F.explode("anomaly_types").alias("anomaly"))
+        .groupBy("archive_id", "anomaly")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("archive_id", "anomaly")
+    )
+
+
+def _malformed_corpus() -> list[bytes]:
+    doc = "<html><body><p>RECOVERED</p></body></html>"
+    return [
+        # declared boundary unused: body uses another one
+        (
+            'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="----=_D"\r\n\r\n'
+            "------=_A\r\nContent-Type: text/html\r\nContent-Location: https://e/a\r\n\r\n"
+            f"{doc}\r\n------=_A--\r\n"
+        ).encode(),
+        # delimiters never turn up
+        (
+            'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="----=_N"\r\n\r\n'
+            f"Content-Type: text/html\r\nContent-Location: https://e/b\r\n\r\n{doc}\r\n"
+        ).encode(),
+        # plain HTML mislabeled as archive
+        doc.encode(),
+        # base64 that cannot be decoded
+        (
+            'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="----=_B"\r\n\r\n'
+            "------=_B\r\nContent-Type: text/html\r\nContent-Transfer-Encoding: base64\r\n"
+            "Content-Location: https://e/c\r\n\r\n@@ not base64 @@\r\n------=_B--\r\n"
+        ).encode(),
+    ]
+
+
+def q_frontier_crawl(spark, sf_dir):
+    """Full crawl on the deterministic fixture world; the oracle is the
+    pure-Python scheduler replay — byte-for-byte ordering equality."""
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    res = crawl_spark(spark, seed_urls(4, 2), max_rounds=3, host_budget=5)
+    rows = [
+        (o["round"], o["pos"], o["url"], o["depth"], o["status"], o["attempts"])
+        for o in res.order
+    ]
+    return spark.createDataFrame(
+        rows, "round int, pos long, url string, depth int, status string, attempts int"
+    ).selectExpr(
+        "cast(round as bigint) round",
+        "pos",
+        "url",
+        "cast(depth as bigint) depth",
+        "status",
+        "cast(attempts as bigint) attempts",
+    )
+
+
 def q_mhtml_images(spark, sf_dir):
     from mhtml_to_html_spark.operators.images_extract import extract_images
 
@@ -523,6 +590,51 @@ def _lossy_phash(gid: int, meta: dict) -> int:
     return phash64(decode_ppm(meta["bytes"]))
 
 
+def _mhtml_anomalies_values() -> str:
+    from collections import Counter
+
+    from mhtml_to_html_spark.mime import parse_mhtml
+
+    rows = []
+    for i, raw in enumerate(_malformed_corpus()):
+        result = parse_mhtml(raw)
+        counts = Counter(a["type"] for a in result.anomalies)
+        for anomaly in sorted(counts):
+            rows.append({"archive_id": f"bad_{i}", "anomaly": anomaly, "n": counts[anomaly]})
+    return _values_oracle(
+        rows, {"archive_id": "VARCHAR", "anomaly": "VARCHAR", "n": "BIGINT"}
+    ) + " ORDER BY archive_id, anomaly"
+
+
+def _frontier_values() -> str:
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+
+    oracle = crawl_oracle(seed_urls(4, 2), max_rounds=3, host_budget=5)
+    rows = [
+        {
+            "round": o["round"],
+            "pos": o["pos"],
+            "url": o["url"],
+            "depth": o["depth"],
+            "status": o["status"],
+            "attempts": o["attempts"],
+        }
+        for o in oracle.order
+    ]
+    return _values_oracle(
+        rows,
+        {
+            "round": "BIGINT",
+            "pos": "BIGINT",
+            "url": "VARCHAR",
+            "depth": "BIGINT",
+            "status": "VARCHAR",
+            "attempts": "BIGINT",
+        },
+    ) + " ORDER BY round, pos"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -548,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhtml_registry": q_mhtml_registry,
         "mhtml_index": q_mhtml_index,
         "mhtml_images": q_mhtml_images,
+        "mhtml_anomalies": q_mhtml_anomalies,
+        "frontier_crawl": q_frontier_crawl,
     }
 
 
@@ -690,4 +804,6 @@ ORDER BY cosine DESC, vec_id LIMIT 10""",
         "mhtml_registry": _mhtml_registry_values(),
         "mhtml_index": _mhtml_index_values(),
         "mhtml_images": _mhtml_images_values(),
+        "mhtml_anomalies": _mhtml_anomalies_values(),
+        "frontier_crawl": _frontier_values(),
     }
