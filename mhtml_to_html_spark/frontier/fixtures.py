@@ -66,6 +66,35 @@ def children_of(url: str, fanout: int = 3, n_hosts: int = 7) -> list[str]:
     return out
 
 
+def robots_rules(host: str) -> dict:
+    """Deterministic robots.txt double for a host: an optional
+    disallowed path prefix and a crawl-delay level. The level scales
+    the per-round token budget (token-bucket crawl delay in round
+    units): level 0 → full budget, 1 → half, 3 → quarter."""
+    h = _h(host, "robots|")
+    bucket = h % 10
+    disallow = None
+    if bucket < 2:
+        disallow = f"/d{(h >> 4) % 4 + 1}"  # one depth-prefix is off-limits
+    crawl_delay_level = (0, 0, 0, 0, 0, 0, 1, 1, 1, 3)[(h >> 8) % 10]
+    return {"disallow": disallow, "crawl_delay_level": crawl_delay_level}
+
+
+def robots_allows(host: str, key: str) -> bool:
+    rules = robots_rules(host)
+    disallow = rules["disallow"]
+    if disallow is None:
+        return True
+    path = key.split("/", 3)[-1] if key.count("/") >= 3 else ""
+    return not ("/" + path).startswith(disallow)
+
+
+def host_token_budget(host: str, base_budget: int) -> int:
+    """Token-bucket refill per round, scaled by the robots crawl delay."""
+    level = robots_rules(host)["crawl_delay_level"]
+    return max(1, base_budget // (1 + level))
+
+
 def fetch_double(url: str, attempt: int) -> dict:
     """Scripted outcome for (url, attempt): deterministic mix of
     immediate 200s, transient 429/503 (with/without Retry-After),

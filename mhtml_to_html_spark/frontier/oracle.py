@@ -29,7 +29,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..urlnorm import canonicalize_url, is_fetchable, unwrap_urn, url_host
-from .fixtures import children_of, fetch_with_retries, host_rank
+from .fixtures import (
+    children_of,
+    fetch_with_retries,
+    host_rank,
+    host_token_budget,
+    robots_allows,
+)
 
 
 @dataclass
@@ -37,6 +43,7 @@ class CrawlResult:
     order: list[dict] = field(default_factory=list)  # fetch sequence
     seen: set[str] = field(default_factory=set)
     failed: set[str] = field(default_factory=set)
+    blocked: set[str] = field(default_factory=set)  # robots-disallowed
     metrics: list[dict] = field(default_factory=list)  # per round
 
 
@@ -47,6 +54,7 @@ def crawl_oracle(
     max_retries: int = 2,
     fanout: int = 3,
     n_hosts: int = 7,
+    use_robots: bool = False,
 ) -> CrawlResult:
     result = CrawlResult()
     # frontier rows: (url, depth, disc_seq) — disc_seq is the global
@@ -65,9 +73,20 @@ def crawl_oracle(
         # skipping seen & failed
         candidates: list[tuple[str, str, int, int]] = []  # (key, url, depth, seq)
         in_round: set[str] = set()
+        blocked_this_round = 0
         for url, depth, seq in frontier:
             key = canonicalize_url(url)
-            if key in result.seen or key in result.failed or key in in_round:
+            if (
+                key in result.seen
+                or key in result.failed
+                or key in result.blocked
+                or key in in_round
+            ):
+                continue
+            if use_robots and not robots_allows(url_host(key) or "", key):
+                if key not in result.blocked:
+                    result.blocked.add(key)
+                    blocked_this_round += 1
                 continue
             in_round.add(key)
             candidates.append((key, url, depth, seq))
@@ -79,8 +98,9 @@ def crawl_oracle(
         deferred: list[tuple[str, int, int]] = []
         for key, url, depth, seq in candidates:
             host = url_host(key) or ""
+            budget = host_token_budget(host, host_budget) if use_robots else host_budget
             n = per_host.get(host, 0)
-            if n < host_budget:
+            if n < budget:
                 per_host[host] = n + 1
                 fetch_now.append((key, url, depth, seq))
             else:
@@ -120,6 +140,7 @@ def crawl_oracle(
                 "failed": n_failed,
                 "attempts": n_attempts,
                 "deferred": len(deferred),
+                "blocked": blocked_this_round,
                 "virtual_delay_ms": total_delay,
             }
         )

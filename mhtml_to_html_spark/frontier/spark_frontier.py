@@ -40,7 +40,9 @@ from pyspark.sql import functions as F
 from ..plans.catalog import SnapshotCatalog
 
 _FRONTIER_SCHEMA = "url string, depth int, disc_seq long"
-_CANON_SCHEMA = "url string, depth int, disc_seq long, key string, host string, host_rank int"
+_CANON_SCHEMA = (
+    "url string, depth int, disc_seq long, key string, host string, host_rank int, h64 long"
+)
 _FETCH_SCHEMA = (
     "key string, depth int, disc_seq long, pos long, status string, attempts int, "
     "delay_ms long, h64 long"
@@ -53,10 +55,12 @@ def _canonicalize_batches(batches):
 
     from ..urlnorm import canonicalize_url, url_host
     from .fixtures import host_rank
+    from .seenset import url_hash64
 
     for pdf in batches:
         keys = [canonicalize_url(u) for u in pdf["url"]]
         hosts = [url_host(k) or "" for k in keys]
+        h64s = [url_hash64(k) for k in keys]
         yield pd.DataFrame(
             {
                 "url": pdf["url"],
@@ -65,6 +69,7 @@ def _canonicalize_batches(batches):
                 "key": keys,
                 "host": hosts,
                 "host_rank": [host_rank(h) for h in hosts],
+                "h64": [h - (1 << 64) if h >= 1 << 63 else h for h in h64s],
             }
         )
 
@@ -128,6 +133,24 @@ def _probe_bloom_batches_factory(bloom_blob: bytes):
             yield pdf.assign(maybe_seen=bloom.might_contain_many(hs))
 
     return probe
+
+
+def _robots_batches(batches):
+    """Robots 'fetch' for newly met hosts → cache rows (deterministic
+    double; production swaps in an HTTP robots.txt fetch)."""
+    import pandas as pd
+
+    from .fixtures import robots_rules
+
+    for pdf in batches:
+        rules = [robots_rules(h) for h in pdf["host"]]
+        yield pd.DataFrame(
+            {
+                "host": pdf["host"],
+                "disallow": [r["disallow"] for r in rules],
+                "crawl_delay_level": [r["crawl_delay_level"] for r in rules],
+            }
+        )
 
 
 def _fetch_batches(
@@ -214,6 +237,7 @@ class SparkCrawlResult:
     order: list[dict] = field(default_factory=list)
     seen: set[str] = field(default_factory=set)
     failed: set[str] = field(default_factory=set)
+    blocked: set[str] = field(default_factory=set)
     metrics: list[dict] = field(default_factory=list)
     snapshots: list[int] = field(default_factory=list)
 
@@ -233,6 +257,7 @@ def crawl_spark(
     payload_images: int = 2,
     payload_scale: int = 1,
     hold_ms: int = 0,
+    use_robots: bool = False,
     range_partition_threshold: int = 50_000,
     verbose: bool = False,
 ) -> SparkCrawlResult:
@@ -248,6 +273,9 @@ def crawl_spark(
     start_round = 0
     disc_total = 0
 
+    empty_robots = spark.createDataFrame(
+        [], "host string, disallow string, crawl_delay_level int"
+    )
     if resume and catalog is not None and catalog.latest() is not None:
         manifest = catalog.latest()
         snap = manifest["snapshot_id"]
@@ -258,6 +286,12 @@ def crawl_spark(
         disc_total = manifest["metrics"]["disc_total"]
         order_acc = catalog.load_table(spark, snap, "order")
         result.metrics = manifest["metrics"].get("rounds", [])
+        if use_robots:
+            robots_cache = catalog.load_table(spark, snap, "robots")
+            blocked = catalog.load_table(spark, snap, "blocked")
+        else:
+            robots_cache = empty_robots
+            blocked = empty_seen
     else:
         rows = []
         for url in seeds:
@@ -270,6 +304,8 @@ def crawl_spark(
         order_acc = spark.createDataFrame(
             [], "round int, pos long, url string, depth int, status string, attempts int"
         )
+        robots_cache = empty_robots
+        blocked = empty_seen
 
     # driver-held incremental counting-Bloom over seen ∪ failed: each
     # round adds only the newly fetched keys (budget-bounded, tiny); on
@@ -279,7 +315,10 @@ def crawl_spark(
     bloom = CountingBloom(_BLOOM_BITS, 4)
     have_seen = start_round > 0
     if have_seen:
-        bloom = build_bloom_distributed(seen.unionByName(failed))
+        rebuilt_from = seen.unionByName(failed)
+        if use_robots:
+            rebuilt_from = rebuilt_from.unionByName(blocked)
+        bloom = build_bloom_distributed(rebuilt_from)
     expected_frontier = frontier.count()
 
     for round_idx in range(start_round, max_rounds):
@@ -297,6 +336,8 @@ def crawl_spark(
         #    false-positive-free
         if have_seen:
             seen_all = seen.unionByName(failed)
+            if use_robots:
+                seen_all = seen_all.unionByName(blocked)
             probed = deduped.mapInPandas(
                 _probe_bloom_batches_factory(bloom.to_bytes()),
                 schema=_CANON_SCHEMA + ", maybe_seen boolean",
@@ -307,6 +348,30 @@ def crawl_spark(
             candidates = definite_new.unionByName(verified_new)
         else:
             candidates = deduped
+
+        # 3b. robots gate: the cache table grows by the round's newly
+        #     met hosts ('fetched' via the deterministic double), then a
+        #     broadcast join classifies candidates; disallowed URLs go
+        #     to the permanent blocked set
+        n_blocked = 0
+        if use_robots:
+            new_hosts = (
+                candidates.select("host").distinct().join(robots_cache, "host", "left_anti")
+            )
+            fetched_rules = new_hosts.mapInPandas(
+                _robots_batches, schema="host string, disallow string, crawl_delay_level int"
+            )
+            robots_cache = robots_cache.unionByName(fetched_rules).localCheckpoint(eager=True)
+            with_rules = candidates.join(F.broadcast(robots_cache), "host", "left")
+            path = F.regexp_replace(F.col("key"), "^[a-zA-Z]+://[^/]+", "")
+            allowed = F.col("disallow").isNull() | ~path.startswith(F.col("disallow"))
+            with_rules = with_rules.withColumn("allowed", allowed).localCheckpoint(eager=True)
+            newly_blocked = with_rules.filter(~F.col("allowed")).select("key", "h64")
+            n_blocked = newly_blocked.count()
+            blocked = blocked.unionByName(newly_blocked)
+            for row in newly_blocked.collect():
+                bloom.add(row["h64"] & 0xFFFFFFFFFFFFFFFF)
+            candidates = with_rules.filter(F.col("allowed")).drop("allowed", "disallow")
 
         # 4. priority queue: salted range partitioning + secondary sort
         #    (the physical order); politeness + positions derive from
@@ -337,12 +402,21 @@ def crawl_spark(
         _t0 = _time.perf_counter()
         w_host = Window.partitionBy("host").orderBy("depth", "host_rank", "disc_seq")
         budgeted = prioritized.withColumn("host_pos", F.row_number().over(w_host))
+        if use_robots:
+            # token-bucket crawl delay: the robots crawl-delay level
+            # scales each host's per-round refill
+            budget_col = F.greatest(
+                F.lit(1), F.floor(F.lit(host_budget) / (F.col("crawl_delay_level") + 1))
+            )
+        else:
+            budget_col = F.lit(host_budget)
+        budgeted = budgeted.withColumn("token_budget", budget_col)
         budgeted = budgeted.localCheckpoint(eager=True)
         _t1 = _time.perf_counter()
         if budgeted.limit(1).count() == 0:
             break
-        fetch_now = budgeted.filter(F.col("host_pos") <= host_budget)
-        deferred = budgeted.filter(F.col("host_pos") > host_budget).select(
+        fetch_now = budgeted.filter(F.col("host_pos") <= F.col("token_budget"))
+        deferred = budgeted.filter(F.col("host_pos") > F.col("token_budget")).select(
             "url", "depth", "disc_seq"
         )
 
@@ -411,7 +485,7 @@ def crawl_spark(
 
         n_fetched = len(fetch_rows)
         n_ok = sum(1 for r in fetch_rows if r["status"] == "ok")
-        n_deferred = budgeted.filter(F.col("host_pos") > host_budget).count()
+        n_deferred = budgeted.filter(F.col("host_pos") > F.col("token_budget")).count()
         n_discovered = discovered.count()
         disc_total += n_discovered
         expected_frontier = n_deferred + n_discovered
@@ -422,6 +496,7 @@ def crawl_spark(
             "failed": n_fetched - n_ok,
             "attempts": sum(r["attempts"] for r in fetch_rows),
             "deferred": n_deferred,
+            "blocked": n_blocked,
             "virtual_delay_ms": sum(r["delay_ms"] for r in fetch_rows),
         }
         result.metrics.append(round_metrics)
@@ -439,13 +514,17 @@ def crawl_spark(
         #     catalog, `budgeted`/`fetched` are already materialized so
         #     the next round's lineage stays one round deep
         if catalog is not None:
+            tables = {
+                "frontier": frontier,
+                "seen": seen,
+                "failed": failed,
+                "order": order_acc,
+            }
+            if use_robots:
+                tables["robots"] = robots_cache
+                tables["blocked"] = blocked
             snap = catalog.write_snapshot(
-                {
-                    "frontier": frontier,
-                    "seen": seen,
-                    "failed": failed,
-                    "order": order_acc,
-                },
+                tables,
                 metrics={"rounds": result.metrics, "disc_total": disc_total, **round_metrics},
                 round_idx=round_idx,
             )
@@ -454,6 +533,9 @@ def crawl_spark(
             seen = catalog.load_table(spark, snap, "seen")
             failed = catalog.load_table(spark, snap, "failed")
             order_acc = catalog.load_table(spark, snap, "order")
+            if use_robots:
+                robots_cache = catalog.load_table(spark, snap, "robots")
+                blocked = catalog.load_table(spark, snap, "blocked")
 
     if collect_order:
         for row in order_acc.orderBy("round", "pos").collect():
@@ -469,4 +551,6 @@ def crawl_spark(
             )
         result.seen = {r["key"] for r in seen.select("key").collect()}
         result.failed = {r["key"] for r in failed.select("key").collect()}
+        if use_robots:
+            result.blocked = {r["key"] for r in blocked.select("key").collect()}
     return result

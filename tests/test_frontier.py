@@ -101,6 +101,47 @@ def test_spark_matches_oracle_with_range_partitioning(spark, oracle_result):
     assert res.failed == oracle_result.failed
 
 
+def test_oracle_robots_blocks_and_throttles():
+    res = crawl_oracle(SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET, use_robots=True)
+    plain = crawl_oracle(SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET)
+    # robots world fetches no blocked URL and respects per-host budgets
+    assert res.blocked.isdisjoint(res.seen | res.failed)
+    assert res.order != plain.order or res.blocked == set()
+
+
+@pytest.mark.spark
+def test_spark_matches_oracle_with_robots(spark, tmp_path):
+    """Robots gate + token-bucket crawl delay: Spark must match the
+    oracle's ordering, seen/failed/blocked sets, and survive resume."""
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    oracle = crawl_oracle(SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET, use_robots=True)
+    res = crawl_spark(
+        spark,
+        SEEDS,
+        max_rounds=MAX_ROUNDS,
+        host_budget=BUDGET,
+        use_robots=True,
+        checkpoint_dir=str(tmp_path / "robots_ckpt"),
+    )
+    assert res.order == oracle.order
+    assert res.seen == oracle.seen
+    assert res.failed == oracle.failed
+    assert res.blocked == oracle.blocked
+    # resume mid-crawl reproduces the same world
+    ckpt2 = str(tmp_path / "robots_resume")
+    crawl_spark(
+        spark, SEEDS, max_rounds=2, host_budget=BUDGET, use_robots=True,
+        checkpoint_dir=ckpt2, collect_order=False,
+    )
+    resumed = crawl_spark(
+        spark, SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET, use_robots=True,
+        checkpoint_dir=ckpt2, resume=True,
+    )
+    assert resumed.order == oracle.order
+    assert resumed.blocked == oracle.blocked
+
+
 @pytest.mark.spark
 def test_spark_resume_from_checkpoint(spark, oracle_result, tmp_path):
     from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
