@@ -95,10 +95,10 @@ def main():
         "payload_images": 8,
         "payload_scale": 3,
         # per-attempt fetch service-time hold, the reference's own
-        # benchmark technique (test/concurrency.test.js uses 20ms):
+        # benchmark technique (test/concurrency.test.js uses 20ms; 40ms is a realistic page RTT):
         # crawl throughput is latency-bound, and a pure-CPU stand-in
         # mismeasures scaling on a frequency-boosting host
-        "hold_ms": 20,
+        "hold_ms": 40,
     }
     repeats = 1 if quick else 2
     results = {}
