@@ -259,6 +259,12 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_topk(_load(spark, sf_dir, "embeddings"), 0, 10)
 
 
+def q_sim_neardup(spark, sf_dir):
+    from mhtml_to_html_spark.operators.similarity import neardup_pairs
+
+    return neardup_pairs(_load(spark, sf_dir, "embeddings"), 0.42)
+
+
 # --------------------------------------------------------------------------
 # MHTML queries (synthetic corpus; oracles are pure-Python VALUES)
 # --------------------------------------------------------------------------
@@ -656,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_neardup": q_sim_neardup,
         "mhtml_parts": q_mhtml_parts,
         "mhtml_registry": q_mhtml_registry,
         "mhtml_index": q_mhtml_index,
@@ -800,6 +807,12 @@ q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
 SELECT CAST(vec_id AS BIGINT) AS vec_id, bucket, {_cosine_expr('embedding', 'qv')} AS cosine
 FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
 ORDER BY cosine DESC, vec_id LIMIT 10""",
+        "sim_neardup": f"""
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       {_cosine_expr('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cosine_expr('a.embedding', 'b.embedding')} >= 0.42
+ORDER BY vec_a, vec_b""",
         "mhtml_parts": _mhtml_parts_values(),
         "mhtml_registry": _mhtml_registry_values(),
         "mhtml_index": _mhtml_index_values(),

@@ -1,0 +1,206 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The Spark-side plumbing is real — schemas, Arrow batch shapes, the
+mapInPandas signatures a 100 TB media pipeline needs; the codec calls
+are the only seam:
+
+- images decode for real (PPM/BMP/raw via images/synth.py);
+- audio/video decoding needs libs this container does not ship
+  (ffmpeg/soundfile), so those paths are STUBBED with a clearly marked
+  deterministic fake keyed on the content hash (or raise
+  NotImplementedError when ``strict=True``) — swap ``_decode_audio`` /
+  ``_decode_video_frames`` for the real codecs and nothing else
+  changes.
+
+Media table schema: (media_id string, kind string, bytes binary,
+meta map<string,string>).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+
+FEATURES_SCHEMA = (
+    "media_id string, kind string, n_bytes long, sha256 string, "
+    "width int, height int, n_channels int, duration_ms long, "
+    "mean_luma double, features array<float>"
+)
+
+RESIZE_SCHEMA = "media_id string, kind string, bytes binary, width int, height int"
+
+FRAMES_SCHEMA = "media_id string, frame_idx int, ts_ms long, bytes binary, width int, height int"
+
+
+def _decode_audio(data: bytes, strict: bool):
+    """STUB: no audio codec in this container. Deterministic fake:
+    pseudo-samples from the content hash (stable shape: 1s @ 8kHz)."""
+    if strict:
+        raise NotImplementedError("audio decode requires soundfile/ffmpeg (not in container)")
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(data).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(8000).astype(np.float32), 8000
+
+
+def _decode_video_frames(data: bytes, n_frames: int, strict: bool):
+    """STUB: no video codec in this container. Deterministic fake
+    frames (16x16 RGB) keyed on (content hash, frame index)."""
+    if strict:
+        raise NotImplementedError("video decode requires ffmpeg (not in container)")
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(data).digest()[:4], "big")
+    for i in range(n_frames):
+        rng = np.random.default_rng(seed + i)
+        yield i, i * 40, rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+
+def _decode_image(data: bytes):
+    from ..images.synth import decode_bmp, decode_ppm
+
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    import struct
+
+    import numpy as np
+
+    w, h = struct.unpack_from("<HH", data, 0)
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=4).reshape(h, w, 3).copy()
+
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-item feature extraction: dims + luma + a 16-dim feature
+    vector (image: 4x4 luma grid; audio: banded energy; video: first
+    frame's grid). Arrow-batched; one row in → one row out."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for media_id, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
+                data = bytes(data)
+                width = height = channels = None
+                duration = None
+                if kind == "image":
+                    pixels = _decode_image(data)
+                    height, width, channels = pixels.shape
+                    luma = pixels.astype(np.float64).mean(axis=2)
+                elif kind == "audio":
+                    samples, rate = _decode_audio(data, strict)
+                    duration = int(len(samples) / rate * 1000)
+                    luma = np.abs(samples).reshape(16, -1).mean(axis=1, keepdims=True)
+                elif kind == "video":
+                    frames = list(_decode_video_frames(data, 1, strict))
+                    _, _, first = frames[0]
+                    height, width, channels = first.shape
+                    duration = 1000
+                    luma = first.astype(np.float64).mean(axis=2)
+                else:
+                    continue
+                grid = _grid16(luma)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": len(data),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "width": width,
+                        "height": height,
+                        "n_channels": channels,
+                        "duration_ms": duration,
+                        "mean_luma": float(np.mean(luma)),
+                        "features": [float(x) for x in grid],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_bytes", "sha256", "width", "height",
+                    "n_channels", "duration_ms", "mean_luma", "features",
+                ],
+            )
+            rows = []
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def _grid16(luma):
+    """16-bucket mean grid over a 2D (or column) array."""
+    import numpy as np
+
+    flat = np.asarray(luma, dtype=np.float64).ravel()
+    if len(flat) < 16:
+        flat = np.pad(flat, (0, 16 - len(flat)))
+    chunks = np.array_split(flat, 16)
+    return [c.mean() if len(c) else 0.0 for c in chunks]
+
+
+def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 12) -> DataFrame:
+    """Nearest-neighbour image resize → raw RGB bytes (numpy-only)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for media_id, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
+                if kind != "image":
+                    continue
+                pixels = _decode_image(bytes(data))
+                h, w = pixels.shape[:2]
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                resized = pixels[ys][:, xs]
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "bytes": struct.pack("<HH", target_w, target_h) + resized.tobytes(),
+                        "width": target_w,
+                        "height": target_h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "bytes", "width", "height"])
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, strict: bool = False) -> DataFrame:
+    """Video frame sampling: one input row fans out to n frame rows
+    (the batch shape a real ffmpeg-backed sampler would have)."""
+
+    def run(batches):
+        import pandas as pd
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for media_id, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
+                if kind != "video":
+                    continue
+                for idx, ts_ms, frame in _decode_video_frames(bytes(data), n_frames, strict):
+                    h, w = frame.shape[:2]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "ts_ms": ts_ms,
+                            "bytes": struct.pack("<HH", w, h) + frame.tobytes(),
+                            "width": w,
+                            "height": h,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "bytes", "width", "height"]
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -57,6 +57,30 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     )
 
 
+def neardup_pairs(embeddings: DataFrame, threshold: float = 0.42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact). The O(n²) join is
+    the verification kernel; at 10^10 rows it runs WITHIN LSH buckets
+    (see lsh_topk's sign-bucketing) so only candidate pairs meet — here
+    it runs standalone over the small corpus as its own oracle-checked
+    operator."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            F.col("vec_a").cast("long").alias("vec_a"),
+            F.col("vec_b").cast("long").alias("vec_b"),
+            F.round(cosine_similarity_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _sign_bucket(vec, dims: int = 4):
     """Deterministic LSH bucket: concatenated signs of the leading dims."""
     return F.concat_ws(
