@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB, not
+just the first ones that pass.
+
+- filters and column pruning must reach the Parquet scan
+  (PushedFilters / ReadSchema);
+- small dimensions must broadcast (no sort-merge join for nation/region
+  or the 1-row query vector);
+- the relational glue must stay inside WholeStageCodegen.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.spark
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter("o_totalprice > 300000")
+        .select("o_custkey")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,300000.0)]" in plan
+    # column pruning: the scan must not read all 6 columns
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "o_orderdate" not in read_schema and "o_orderstatus" not in read_schema
+
+
+@pytest.mark.spark
+def test_small_dims_broadcast(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.q_supplier_geo(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+def test_query_vector_broadcasts(spark):
+    from mhtml_to_html_spark.operators.similarity import cosine_topk
+
+    plan = plan_of(cosine_topk(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), 0, 10))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_anti_join_pushes_probe_filter(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.q_unfound_antijoin(spark, SF_DIR))
+    assert "GreaterThan(o_totalprice,300000.0)" in plan, "probe-side filter not pushed to scan"
+
+
+@pytest.mark.spark
+def test_aggregation_is_map_side_partial(spark):
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.q_pricing_summary(spark, SF_DIR))
+    # partial aggregation BEFORE the shuffle (map-side combine): only
+    # (flag, status, partial sums) cross the wire, never wide rows
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert plan.index("partial_sum") < plan.index("AS sum_qty")
+
+
+@pytest.mark.spark
+def test_minhash_partial_aggregation(spark):
+    from mhtml_to_html_spark.operators.dedup import minhash_signatures
+
+    plan = plan_of(minhash_signatures(spark.read.parquet(f"{SF_DIR}/documents.parquet")))
+    # explode → ONE shuffle keyed on doc_id with map-side partial min:
+    # only 12 hashes per doc reach the exchange, not the shingles
+    assert plan.count("+- Exchange") == 1
+    assert "partial_min" in plan
