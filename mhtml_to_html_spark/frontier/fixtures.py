@@ -129,16 +129,34 @@ def backoff_delay_ms(attempt: int) -> int:
     return min(RETRY_BASE_DELAY_MS * (2**attempt), MAX_RETRY_DELAY_MS)
 
 
+def parse_retry_after_ms(retry_after: str, now_ms: int | None = None) -> int | None:
+    """Reference parseRetryAfter (convert.js:215-224): seconds, else an
+    HTTP-date relative to now; unparsable ⇒ None."""
+    try:
+        return max(0, int(float(retry_after) * 1000))
+    except ValueError:
+        pass
+    from email.utils import parsedate_to_datetime
+
+    try:
+        dt = parsedate_to_datetime(retry_after)
+    except (TypeError, ValueError):
+        return None
+    import time as _time
+
+    now = now_ms if now_ms is not None else int(_time.time() * 1000)
+    return max(0, int(dt.timestamp() * 1000) - now)
+
+
 def retry_delay_ms(outcome: dict, attempt: int) -> int | None:
     """Reference getRetryDelay (convert.js:206-213): Retry-After wins;
     unparsable or > cap ⇒ None (give up); else exponential backoff."""
     retry_after = outcome.get("retry_after")
     if retry_after is not None:
-        try:
-            delay = max(0, int(float(retry_after) * 1000))
-        except ValueError:
+        delay = parse_retry_after_ms(retry_after)
+        if delay is None or delay > MAX_RETRY_DELAY_MS:
             return None
-        return None if delay > MAX_RETRY_DELAY_MS else delay
+        return delay
     return backoff_delay_ms(attempt)
 
 
