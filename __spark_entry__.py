@@ -314,6 +314,22 @@ def q_mhtml_index(spark, sf_dir):
     )
 
 
+def q_mhtml_pages(spark, sf_dir):
+    """Full archive → page conversion (the reference's convert());
+    oracle = pure-Python replay of the same corpus."""
+    from mhtml_to_html_spark.operators.pages import convert_archives
+    from mhtml_to_html_spark.sources.corpus import archives_df
+
+    pages = convert_archives(archives_df(spark, N_ORACLE_ARCHIVES, IMAGES_PER_ARCHIVE, partitions=4))
+    return pages.select(
+        "archive_id",
+        "title",
+        F.sha2(F.col("data"), 256).alias("page_sha256"),
+        "n_bytes",
+        F.array_join(F.col("unfound"), ",").alias("unfound_csv"),
+    ).orderBy("archive_id")
+
+
 def q_mhtml_anomalies(spark, sf_dir):
     """Anomaly accounting over a corpus of deliberately malformed
     archives (boundary recovery, missing delimiters, mislabeled
@@ -596,6 +612,33 @@ def _lossy_phash(gid: int, meta: dict) -> int:
     return phash64(decode_ppm(meta["bytes"]))
 
 
+def _mhtml_pages_values() -> str:
+    from mhtml_to_html_spark.operators.convert import convert_page
+
+    rows = []
+    for archive_id, result in _mhtml_oracle_rows():
+        page = convert_page(result)
+        rows.append(
+            {
+                "archive_id": archive_id,
+                "title": page.title,
+                "page_sha256": hashlib.sha256(page.data.encode("utf-8")).hexdigest(),
+                "n_bytes": len(page.data.encode("utf-8")),
+                "unfound_csv": ",".join(sorted(page.unfound_resources)),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "archive_id": "VARCHAR",
+            "title": "VARCHAR",
+            "page_sha256": "VARCHAR",
+            "n_bytes": "BIGINT",
+            "unfound_csv": "VARCHAR",
+        },
+    ) + " ORDER BY archive_id"
+
+
 def _mhtml_anomalies_values() -> str:
     from collections import Counter
 
@@ -668,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhtml_index": q_mhtml_index,
         "mhtml_images": q_mhtml_images,
         "mhtml_anomalies": q_mhtml_anomalies,
+        "mhtml_pages": q_mhtml_pages,
         "frontier_crawl": q_frontier_crawl,
     }
 
@@ -818,5 +862,6 @@ ORDER BY vec_a, vec_b""",
         "mhtml_index": _mhtml_index_values(),
         "mhtml_images": _mhtml_images_values(),
         "mhtml_anomalies": _mhtml_anomalies_values(),
+        "mhtml_pages": _mhtml_pages_values(),
         "frontier_crawl": _frontier_values(),
     }
