@@ -36,6 +36,30 @@ def make_spark():
     )
 
 
+def bench_mhtml_pages(spark):
+    """Full archive → page conversion (parse + rewrite walk fused)."""
+    from mhtml_to_html_spark.operators.pages import convert_archives
+    from mhtml_to_html_spark.sources.corpus import archives_df
+
+    n_parts = int(CPUS) * 2
+    n = max(N_BENCH_ARCHIVES // 4, 500)
+    pages = convert_archives(archives_df(spark, n, IMAGES_PER, partitions=n_parts))
+    ok = pages.filter("error is null and data is not null").count()
+    return n, ok
+
+
+def bench_frontier(spark):
+    """Crawl throughput: fetch (scripted) + decode, politeness + dedup."""
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    seeds = [f"https://host{h}.example.com/seed/{i}" for h in range(150) for i in range(2)]
+    res = crawl_spark(
+        spark, seeds, max_rounds=3, host_budget=24, collect_order=False,
+        decode_payload=True, fanout=6, n_hosts=150,
+    )
+    return sum(m["fetched"] for m in res.metrics)
+
+
 def bench_mhtml_decode(spark, sf_dir):
     """The payload stage: synth archives → split → extract images with
     captions; count forces full decode of every part."""
@@ -88,6 +112,18 @@ def main():
     # each decoded image+caption pair stands for one fetched+decoded URL
     urls_per_sec = n_images / decode_sec if decode_sec else 0.0
 
+    start = time.perf_counter()
+    n_pages, n_pages_ok = bench_mhtml_pages(spark)
+    pages_sec = time.perf_counter() - start
+    timings["mhtml_pages"] = round(pages_sec, 3)
+    total += pages_sec
+
+    start = time.perf_counter()
+    n_crawled = bench_frontier(spark)
+    crawl_sec = time.perf_counter() - start
+    timings["frontier_crawl"] = round(crawl_sec, 3)
+    total += crawl_sec
+
     result = {
         "metric": "headline queries + MHTML decode wall time",
         "value": round(total, 3),
@@ -97,6 +133,10 @@ def main():
         "mhtml_archives": N_BENCH_ARCHIVES,
         "decoded_images": n_images,
         "decode_urls_per_sec": round(urls_per_sec, 1),
+        "pages_converted": n_pages_ok,
+        "pages_per_sec": round(n_pages_ok / pages_sec, 1) if pages_sec else 0.0,
+        "crawled_urls": n_crawled,
+        "crawl_urls_per_sec": round(n_crawled / crawl_sec, 1) if crawl_sec else 0.0,
         "cpus": int(CPUS),
     }
     print(json.dumps(result))
