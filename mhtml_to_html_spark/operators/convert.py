@@ -498,6 +498,15 @@ def _convert(
                 http_equiv = child.get_attribute("http-equiv")
                 if http_equiv and http_equiv.lower() in ("refresh", "content-security-policy"):
                     removed.append(child)
+                # every charset declaration goes, not just the first: the
+                # document is inlined as UTF-8 and a survivor would lie
+                # about the text around it (parse.js:588-599 — the
+                # reference removes them at parse time; the walk is the
+                # equivalent seam here)
+                elif http_equiv and http_equiv.lower() == "content-type":
+                    removed.append(child)
+                elif child.get_attribute("charset"):
+                    removed.append(child)
             elif tag == "template":
                 shadowmode = child.get_attribute("shadowmode")
                 if shadowmode is not None:
