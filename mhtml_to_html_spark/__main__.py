@@ -1,0 +1,77 @@
+"""CLI: convert .mht/.mhtml archives to HTML, Spark-parallel.
+
+Parity with the reference CLI (/root/reference/mod.js):
+
+    python -m mhtml_to_html_spark INPUT... [--output OUT] [--enable-scripts]
+
+- INPUT accepts files and globs (Spark path globs are native);
+- with one input and --output, the page goes to that exact path;
+- otherwise each page lands next to its archive with ``.html`` swapped
+  in (mod.js:63-66);
+- a broken archive reports its error and the batch continues
+  (mod.js:71-74).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="mhtml-to-html-spark", description="Convert MHTML archives to HTML (Spark-parallel)."
+    )
+    parser.add_argument("inputs", nargs="+", help="input files or globs")
+    parser.add_argument("--output", help="output file (single input) or directory")
+    parser.add_argument("--enable-scripts", action="store_true")
+    parser.add_argument("--master", default="local[*]")
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("mhtml-to-html-spark")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mhtml_to_html_spark.operators.pages import convert_archives
+    from mhtml_to_html_spark.sources.corpus import read_archives
+
+    df = read_archives(spark, ",".join(args.inputs) if len(args.inputs) == 1 else args.inputs[0])
+    if len(args.inputs) > 1:
+        frames = [read_archives(spark, path) for path in args.inputs]
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
+
+    pages = convert_archives(df).collect()
+    failures = 0
+    single_output = args.output if len(pages) == 1 and args.output and not os.path.isdir(args.output) else None
+    for row in pages:
+        src_path = row["archive_id"].replace("file:", "")
+        if row["error"] is not None:
+            print(f"{src_path}: {row['error']}", file=sys.stderr)
+            failures += 1
+            continue
+        if single_output:
+            out_path = single_output
+        else:
+            base = os.path.splitext(os.path.basename(src_path))[0] + ".html"
+            out_dir = args.output if args.output else os.path.dirname(src_path)
+            out_path = os.path.join(out_dir, base)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(row["data"])
+        print(json.dumps({"input": src_path, "output": out_path, "title": row["title"]}))
+    spark.stop()
+    return 1 if failures == len(pages) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
