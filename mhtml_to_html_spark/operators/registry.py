@@ -21,9 +21,27 @@ def _kind_rank():
 
 
 def registry_keys(parts: DataFrame) -> DataFrame:
-    """(archive_id, key, kind, part_id, seq) after first-wins dedup."""
+    """(archive_id, key, kind, part_id, seq) after first-wins dedup.
+
+    The key rows derive JVM-side from the scalar id columns — a
+    Content-ID key, the normalized location, and the as-written
+    location when it differs (parse.js:280-293) — so the split UDF
+    never builds struct arrays in Python."""
+    key_structs = F.array_compact(
+        F.array(
+            F.when(
+                F.col("content_id").isNotNull(),
+                F.struct(F.col("content_id").alias("key"), F.lit("cid").alias("kind")),
+            ),
+            F.struct(F.col("part_id").alias("key"), F.lit("location").alias("kind")),
+            F.when(
+                F.col("written_id").isNotNull() & (F.col("written_id") != F.col("part_id")),
+                F.struct(F.col("written_id").alias("key"), F.lit("raw").alias("kind")),
+            ),
+        )
+    )
     exploded = (
-        parts.select("archive_id", "seq", "part_id", F.explode("reg_keys").alias("rk"))
+        parts.select("archive_id", "seq", "part_id", F.explode(key_structs).alias("rk"))
         .select("archive_id", "seq", "part_id", F.col("rk.key").alias("key"), F.col("rk.kind").alias("kind"))
     )
     w = Window.partitionBy("archive_id", "key").orderBy(F.col("seq"), _kind_rank())

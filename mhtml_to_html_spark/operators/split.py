@@ -25,7 +25,7 @@ PARTS_SCHEMA = (
     "content_id string, content_location string, content_type string, "
     "transfer_encoding string, data binary, text string, charset string, "
     "is_index boolean, is_embedded_container boolean, "
-    "anomaly_types array<string>, reg_keys array<struct<key:string, kind:string>>, "
+    "anomaly_types array<string>, "
     "index_id string, header_from string, header_subject string, header_date string, "
     "n_parts int"
 )
@@ -34,7 +34,7 @@ _COLUMNS = [
     "archive_id", "seq", "part_id", "written_id", "content_id",
     "content_location", "content_type", "transfer_encoding", "data",
     "text", "charset", "is_index", "is_embedded_container",
-    "anomaly_types", "reg_keys", "index_id", "header_from",
+    "anomaly_types", "index_id", "header_from",
     "header_subject", "header_date", "n_parts",
 ]
 
@@ -45,37 +45,37 @@ def _split_batches(batches):
     from ..mime.splitter import parse_mhtml
 
     for pdf in batches:
-        rows = []
+        # dict-of-lists: one Arrow column build instead of 20 dict
+        # lookups per row
+        cols: dict[str, list] = {name: [] for name in _COLUMNS}
         for archive_id, content in zip(pdf["archive_id"], pdf["content"]):
             result = parse_mhtml(bytes(content))
             archive_anoms = [a["type"] for a in result.anomalies if "id" not in a]
+            headers = result.headers
             for part in result.parts:
-                rows.append(
-                    {
-                        "archive_id": archive_id,
-                        "seq": part.seq,
-                        "part_id": part.part_id,
-                        "written_id": part.written_id,
-                        "content_id": part.content_id,
-                        "content_location": part.content_location,
-                        "content_type": part.content_type,
-                        "transfer_encoding": part.transfer_encoding,
-                        "data": part.data,
-                        "text": part.text,
-                        "charset": part.charset,
-                        "is_index": part.part_id == result.index and part.is_index,
-                        "is_embedded_container": part.is_embedded_container,
-                        "anomaly_types": [a["type"] for a in part.anomalies]
-                        + (archive_anoms if part.seq == 0 else []),
-                        "reg_keys": [{"key": k, "kind": kind} for k, kind in part.keys],
-                        "index_id": result.index,
-                        "header_from": result.headers.get("from"),
-                        "header_subject": result.headers.get("subject"),
-                        "header_date": result.headers.get("date"),
-                        "n_parts": len(result.parts),
-                    }
+                cols["archive_id"].append(archive_id)
+                cols["seq"].append(part.seq)
+                cols["part_id"].append(part.part_id)
+                cols["written_id"].append(part.written_id)
+                cols["content_id"].append(part.content_id)
+                cols["content_location"].append(part.content_location)
+                cols["content_type"].append(part.content_type)
+                cols["transfer_encoding"].append(part.transfer_encoding)
+                cols["data"].append(part.data)
+                cols["text"].append(part.text)
+                cols["charset"].append(part.charset)
+                cols["is_index"].append(part.part_id == result.index and part.is_index)
+                cols["is_embedded_container"].append(part.is_embedded_container)
+                cols["anomaly_types"].append(
+                    [a["type"] for a in part.anomalies]
+                    + (archive_anoms if part.seq == 0 else [])
                 )
-        yield pd.DataFrame(rows, columns=_COLUMNS)
+                cols["index_id"].append(result.index)
+                cols["header_from"].append(headers.get("from"))
+                cols["header_subject"].append(headers.get("subject"))
+                cols["header_date"].append(headers.get("date"))
+                cols["n_parts"].append(len(result.parts))
+        yield pd.DataFrame(cols, columns=_COLUMNS)
 
 
 def split_archives(archives: DataFrame) -> DataFrame:
