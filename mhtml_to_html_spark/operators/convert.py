@@ -557,6 +557,95 @@ def _convert(
     )
 
 
+def collect_missing(result: ParseResult, enable_scripts: bool = False) -> list[str]:
+    """Collect-mode walk (F2): the references the archive cannot
+    satisfy, in deterministic order. Runs the rewrite walk on a scratch
+    copy — ``unfound`` IS the missing set, including CSS url()s and
+    references nested stylesheets expose (the reference's descend runs
+    in both walks, convert.js:776-781)."""
+    import copy
+
+    from ..urlnorm import is_fetchable
+
+    scratch = copy.deepcopy(result)
+    page = convert_page(scratch, enable_scripts=enable_scripts)
+    return sorted(u for u in page.unfound_resources if is_fetchable(u))
+
+
+def _fetch_with_reference_retries(fetch, url: str, max_retries: int):
+    """The reference retry loop (convert.js:165-200): transient =
+    429/5xx/throw; Retry-After honored with the 5s cap; exponential
+    backoff (virtual time); maxRetries attempts beyond the first."""
+    from ..frontier.fixtures import backoff_delay_ms, is_transient, retry_delay_ms
+
+    attempt = 0
+    while True:
+        delay = None
+        try:
+            response = fetch(url)
+            status = response.get("status", 200)
+            if 200 <= status < 300:
+                return response
+            if not is_transient(status):
+                return None
+            delay = retry_delay_ms(response, attempt)
+        except Exception:
+            delay = backoff_delay_ms(attempt)
+        if delay is None or attempt >= max_retries:
+            return None
+        attempt += 1
+
+
+def fetch_and_convert(
+    result: ParseResult,
+    fetch,
+    enable_scripts: bool = False,
+    max_retries: int = 2,
+) -> PageResult:
+    """The round fixpoint (F1, convert.js:129-146): collect missing →
+    minus the deny-list → fetch → merge → repeat; the final pass
+    rewrites. ``fetch(url)`` returns {status, content_type, body,
+    retry_after?} or raises."""
+    from ..mime.kernels import is_document as _is_doc
+    from ..mime.kernels import is_stylesheet as _is_css
+    from ..mime.kernels import is_text as _is_text
+    from ..urlnorm import unwrap_urn
+
+    failed: list[str] = []
+    while True:
+        missing = [u for u in collect_missing(result, enable_scripts) if u not in failed]
+        if not missing:
+            break
+        for url in missing:
+            response = _fetch_with_reference_retries(fetch, unwrap_urn(url), max_retries)
+            if response is None:
+                failed.append(url)
+                continue
+            content_type = response.get("content_type") or "application/octet-stream"
+            body = response.get("body", b"")
+            if isinstance(body, str):
+                body = body.encode("utf-8")
+            part = ParsedPart(
+                seq=len(result.parts),
+                part_id=url,
+                written_id=None,
+                content_id=None,
+                content_location=url,
+                content_type=content_type,
+                transfer_encoding=None,
+                data=body,
+                text=(
+                    decode_string(body, get_charset(content_type))
+                    if (_is_doc(content_type) or _is_css(content_type) or _is_text(content_type))
+                    else None
+                ),
+                charset=get_charset(content_type),
+                is_index=False,
+            )
+            result.parts.append(part)
+    return convert_page(result, enable_scripts=enable_scripts)
+
+
 def _self_link_fragment(raw_href: str, base: str) -> str | None:
     """Anchor equal to the base minus fragment → keep only #frag
     (convert.js:564-579)."""
