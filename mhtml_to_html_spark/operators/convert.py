@@ -596,28 +596,68 @@ def _fetch_with_reference_retries(fetch, url: str, max_retries: int):
         attempt += 1
 
 
+DEFAULT_MAX_PARALLEL_REQUESTS = 16  # convert.js:110
+
+
+def _fetch_pool(missing: list[str], fetch, max_retries: int, max_parallel: int) -> dict:
+    """The bounded worker pool (F3, convert.js:148-163): N workers
+    share one cursor; the cap holds through retries; 0/-5 fall back to
+    one worker. Responses come back keyed by URL, so merge order stays
+    the round's missing order (deterministic) whatever the completion
+    order."""
+    import threading
+
+    from ..urlnorm import unwrap_urn
+
+    count_workers = max(1, min(max_parallel, len(missing)))
+    cursor = {"i": 0}
+    lock = threading.Lock()
+    responses: dict[str, dict | None] = {}
+
+    def worker():
+        while True:
+            with lock:
+                i = cursor["i"]
+                if i >= len(missing):
+                    return
+                cursor["i"] = i + 1
+            url = missing[i]
+            responses[url] = _fetch_with_reference_retries(fetch, unwrap_urn(url), max_retries)
+
+    if count_workers == 1:
+        worker()
+    else:
+        threads = [threading.Thread(target=worker) for _ in range(count_workers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    return responses
+
+
 def fetch_and_convert(
     result: ParseResult,
     fetch,
     enable_scripts: bool = False,
     max_retries: int = 2,
+    max_parallel_requests: int = DEFAULT_MAX_PARALLEL_REQUESTS,
 ) -> PageResult:
     """The round fixpoint (F1, convert.js:129-146): collect missing →
-    minus the deny-list → fetch → merge → repeat; the final pass
-    rewrites. ``fetch(url)`` returns {status, content_type, body,
-    retry_after?} or raises."""
+    minus the deny-list → fetch via the bounded pool → merge → repeat;
+    the final pass rewrites. ``fetch(url)`` returns {status,
+    content_type, body, retry_after?} or raises."""
     from ..mime.kernels import is_document as _is_doc
     from ..mime.kernels import is_stylesheet as _is_css
     from ..mime.kernels import is_text as _is_text
-    from ..urlnorm import unwrap_urn
 
     failed: list[str] = []
     while True:
         missing = [u for u in collect_missing(result, enable_scripts) if u not in failed]
         if not missing:
             break
+        responses = _fetch_pool(missing, fetch, max_retries, max_parallel_requests)
         for url in missing:
-            response = _fetch_with_reference_retries(fetch, unwrap_urn(url), max_retries)
+            response = responses.get(url)
             if response is None:
                 failed.append(url)
                 continue
