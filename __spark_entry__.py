@@ -374,6 +374,46 @@ def _malformed_corpus() -> list[bytes]:
     ]
 
 
+def _phash_corpus_rows():
+    """20 seeded images + their lossy twins: deliberate near-dup
+    structure with deterministic phashes."""
+    from mhtml_to_html_spark.images.synth import phash64, quantize_lossy, synth_image
+
+    rows = []
+    for i in range(20):
+        pixels = synth_image(500 + i, 32, 24)
+        rows.append((f"base_{i:03d}", phash64(pixels)))
+        rows.append((f"lossy_{i:03d}", phash64(quantize_lossy(pixels))))
+    return rows
+
+
+def q_image_phash_neardup(spark, sf_dir):
+    """Banded-Hamming phash near-dup over the image payload."""
+    from mhtml_to_html_spark.operators.similarity import phash_neardup
+
+    df = spark.createDataFrame(_phash_corpus_rows(), "image_id string, phash long")
+    return phash_neardup(df, 6).orderBy("img_a", "img_b")
+
+
+def _phash_neardup_values() -> str:
+    rows = []
+    corpus = _phash_corpus_rows()
+    for i, (id_a, pa) in enumerate(corpus):
+        for id_b, pb in corpus[i + 1 :]:
+            lo, hi = sorted([id_a, id_b])
+            # band prune exactly like the operator: a shared 16-bit band
+            shares_band = any(
+                ((pa >> (b * 16)) & 0xFFFF) == ((pb >> (b * 16)) & 0xFFFF) for b in range(4)
+            )
+            dist = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if shares_band and dist <= 6:
+                rows.append({"img_a": lo, "img_b": hi, "distance": dist})
+    rows.sort(key=lambda r: (r["img_a"], r["img_b"]))
+    return _values_oracle(
+        rows, {"img_a": "VARCHAR", "img_b": "VARCHAR", "distance": "BIGINT"}
+    ) + " ORDER BY img_a, img_b"
+
+
 def q_frontier_crawl(spark, sf_dir):
     """Full crawl on the deterministic fixture world; the oracle is the
     pure-Python scheduler replay — byte-for-byte ordering equality."""
@@ -712,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhtml_images": q_mhtml_images,
         "mhtml_anomalies": q_mhtml_anomalies,
         "mhtml_pages": q_mhtml_pages,
+        "image_phash_neardup": q_image_phash_neardup,
         "frontier_crawl": q_frontier_crawl,
     }
 
@@ -863,5 +904,6 @@ ORDER BY vec_a, vec_b""",
         "mhtml_images": _mhtml_images_values(),
         "mhtml_anomalies": _mhtml_anomalies_values(),
         "mhtml_pages": _mhtml_pages_values(),
+        "image_phash_neardup": _phash_neardup_values(),
         "frontier_crawl": _frontier_values(),
     }

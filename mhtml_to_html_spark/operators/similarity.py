@@ -81,6 +81,49 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.42) -> DataFrame:
     )
 
 
+def phash_neardup(images: DataFrame, max_distance: int = 6) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over an image table
+    (image_id, phash:int64): Hamming distance via xor + bit_count,
+    candidates pruned by 16-bit band equality (pigeonhole: two hashes
+    within distance d <= 3 per band share at least one of 4 identical
+    bands — at 10^10 images only same-band pairs ever meet in the
+    join, never the cross product)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("phash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = images.select(
+        F.col("image_id"), F.col("phash"), F.explode(bands).alias("band")
+    ).select("image_id", "phash", "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("distance", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long"))
+        .filter(F.col("distance") <= max_distance)
+        .select("img_a", "img_b", "distance")
+    )
+
+
 def _sign_bucket(vec, dims: int = 4):
     """Deterministic LSH bucket: concatenated signs of the leading dims."""
     return F.concat_ws(
