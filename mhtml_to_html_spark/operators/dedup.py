@@ -65,7 +65,13 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     otherwise inline the whole shingle expression k times, and the
     map-side combine means only k hashes per doc reach the shuffle.
     """
-    sh = docs.select(
+    # a small parquet arrives as ONE split; spread the docs first so the
+    # k·|shingles| hash work parallelizes (at 100 TB the scan itself
+    # provides the splits and this repartition collapses into a no-op
+    # narrow exchange of small rows)
+    spark = docs.sparkSession
+    n_par = max(spark.sparkContext.defaultParallelism, 4)
+    sh = docs.repartition(n_par).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(shingles_col()).alias("shingle")
     )
     return sh.groupBy("doc_id").agg(
@@ -102,18 +108,26 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # bucket-then-combinations instead of a self-join: the signature
+    # pipeline is evaluated ONCE, and only same-bucket docs pair up
+    # (bucket membership lists are small by construction — a huge
+    # bucket means actual duplicates, which is the answer anyway)
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(docs, (a, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), b -> struct(a AS doc_a, b AS doc_b)))"
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -143,7 +157,9 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens: per-token 16-bit value from the
     first 4 hex chars of md5(token); signature bit b = sign of the sum
     of (2*bit_b - 1) over tokens. Portable bit arithmetic (div/mod)."""
-    tok = docs.select(
+    spark = docs.sparkSession
+    n_par = max(spark.sparkContext.defaultParallelism, 4)
+    tok = docs.repartition(n_par).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens_col()).alias("tok")
     )
     v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
