@@ -178,6 +178,26 @@ def q_eligibility_filter(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: the props JSON column parsed with a
+    schema (from_json), aggregated per event type — the typed-metadata
+    pattern the multimodal tables use."""
+    e = _load(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "k", F.from_json(F.col("props"), "k long").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_running_window(spark, sf_dir):
     """Running per-user aggregate under an explicit total order."""
     from pyspark.sql import Window
@@ -734,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unfound_antijoin": q_unfound_antijoin,
         "per_key_topk": q_per_key_topk,
         "eligibility_filter": q_eligibility_filter,
+        "json_props": q_json_props,
         "running_window": q_running_window,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -808,6 +829,13 @@ WHERE rk <= 3 ORDER BY event_type, rk""",
         "eligibility_filter": """
 SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
 WHERE event_type IN ('click', 'view') AND value > 50 ORDER BY user_id""",
+        "json_props": """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type""",
         "running_window": """
 SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
