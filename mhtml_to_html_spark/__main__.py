@@ -32,6 +32,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
+    preexisting = SparkSession.getActiveSession() is not None
     spark = (
         SparkSession.builder.master(args.master)
         .appName("mhtml-to-html-spark")
@@ -69,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
         with open(out_path, "w", encoding="utf-8") as f:
             f.write(row["data"])
         print(json.dumps({"input": src_path, "output": out_path, "title": row["title"]}))
-    spark.stop()
+    if not preexisting:  # embedded callers (tests) keep their session
+        spark.stop()
     return 1 if failures == len(pages) else 0
 
 
