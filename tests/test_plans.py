@@ -75,7 +75,9 @@ def test_minhash_partial_aggregation(spark):
     from mhtml_to_html_spark.operators.dedup import minhash_signatures
 
     plan = plan_of(minhash_signatures(spark.read.parquet(f"{SF_DIR}/documents.parquet")))
-    # explode → ONE shuffle keyed on doc_id with map-side partial min:
-    # only 12 hashes per doc reach the exchange, not the shingles
-    assert plan.count("+- Exchange") == 1
+    # the work-spreading repartition moves small doc rows; the ONE
+    # aggregation shuffle is keyed on doc_id with map-side partial min,
+    # so only 12 hashes per doc cross it, never the shingles
+    assert plan.count("+- Exchange") == 2  # repartition + groupBy
     assert "partial_min" in plan
+    assert plan.index("partial_min") > plan.index("RoundRobinPartitioning")
