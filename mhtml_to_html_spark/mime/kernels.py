@@ -136,7 +136,30 @@ _WHATWG_LABELS: dict[str, str] = {
     "windows-1252": "cp1252",
     "cp1252": "cp1252",
     "iso-8859-2": "iso8859-2",
+    "iso-8859-3": "iso8859-3",
+    "iso-8859-4": "iso8859-4",
+    "iso-8859-5": "iso8859-5",
+    "iso-8859-6": "iso8859-6",
+    "iso-8859-7": "iso8859-7",
+    "iso-8859-8": "iso8859-8",
+    "iso-8859-8-i": "iso8859-8",
+    "iso-8859-9": "cp1254",
+    "iso-8859-10": "iso8859-10",
+    "iso-8859-13": "iso8859-13",
+    "iso-8859-14": "iso8859-14",
     "iso-8859-15": "iso8859-15",
+    "iso-8859-16": "iso8859-16",
+    "windows-1253": "cp1253",
+    "windows-1255": "cp1255",
+    "windows-1256": "cp1256",
+    "windows-1257": "cp1257",
+    "windows-1258": "cp1258",
+    "windows-874": "cp874",
+    "tis-620": "cp874",
+    "macintosh": "mac-roman",
+    "x-mac-cyrillic": "mac-cyrillic",
+    "ibm866": "cp866",
+    "x-user-defined": "latin-1",
     "koi8-r": "koi8-r",
     "koi8": "koi8-r",
     "koi8-u": "koi8-u",

@@ -74,12 +74,10 @@ def build_maps(result: ParseResult) -> tuple[dict, dict]:
 
 def _page_text(part: ParsedPart) -> str:
     """The document text of a part (the reference's resource.data once
-    it has been decoded for display)."""
+    it has been decoded for display); for parts kept encoded, our data
+    already holds the decoded payload."""
     if part.text is not None:
         return part.text
-    if part.transfer_encoding == "base64":
-        # kept encoded: our data already holds the decoded payload
-        return decode_string(part.data, get_charset(part.content_type))
     return decode_string(part.data, get_charset(part.content_type))
 
 
