@@ -161,7 +161,10 @@ def convert_page(
     enable_scripts: bool = False,
 ) -> PageResult:
     resources, frames = build_maps(result)
-    unfound: set[str] = set()
+    # dict-as-ordered-set: reporting order is insertion order, like the
+    # reference's Set (a plain Python set would hash-randomize across
+    # worker processes)
+    unfound: dict[str, None] = {}
     anomalies = list(result.anomalies)
     page = _convert(
         resources,
@@ -182,7 +185,7 @@ def _convert(
     index: str | None,
     frame_part_id: str | None,
     headers: dict | None,
-    unfound: set,
+    unfound: dict,
     enable_scripts: bool,
     anomalies: list,
 ) -> PageResult:
@@ -224,7 +227,7 @@ def _convert(
             part.used = True
             found(part)
         else:
-            unfound.add(resolved_id)
+            unfound.setdefault(resolved_id)
             not_found()
 
     def rewrite_stylesheet(part, sheet_base) -> str:

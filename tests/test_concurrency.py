@@ -54,7 +54,9 @@ def test_default_cap_saturates_at_16():
 
 @pytest.mark.parametrize("cap", [1, 4, 32])
 def test_cap_respected_exactly(cap):
-    fetch, state = tracking_fetch(hold_ms=10)
+    # hold long enough that every worker thread starts before the first
+    # finishes, even on a loaded host
+    fetch, state = tracking_fetch(hold_ms=50)
     result = fetch_and_convert(images(100), fetch, max_parallel_requests=cap)
     assert state["peak"] == cap, f"peak {state['peak']}"
     assert count_inlined(result.data) == 100
