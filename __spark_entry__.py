@@ -178,6 +178,22 @@ def q_eligibility_filter(spark, sf_dir):
     )
 
 
+def q_rollup(spark, sf_dir):
+    """Grouping sets: per-(returnflag, linestatus) totals with rollup
+    subtotals and a grand total."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: the props JSON column parsed with a
     schema (from_json), aggregated per event type — the typed-metadata
@@ -754,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unfound_antijoin": q_unfound_antijoin,
         "per_key_topk": q_per_key_topk,
         "eligibility_filter": q_eligibility_filter,
+        "rollup_totals": q_rollup,
         "json_props": q_json_props,
         "running_window": q_running_window,
         "dedup_exact": q_dedup_exact,
@@ -829,6 +846,11 @@ WHERE rk <= 3 ORDER BY event_type, rk""",
         "eligibility_filter": """
 SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
 WHERE event_type IN ('click', 'view') AND value > 50 ORDER BY user_id""",
+        "rollup_totals": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice), 4) AS total_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
         "json_props": """
 SELECT event_type,
        count(*) AS n,
