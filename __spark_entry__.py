@@ -632,9 +632,16 @@ def _mhtml_index_values() -> str:
 
     rows = []
     for archive_id, result in _mhtml_oracle_rows():
+        last_container = max(
+            (p.seq for p in result.parts if p.is_embedded_container), default=-1
+        )
         best = None
         for p in result.parts:
             if is_document(p.content_type):
+                # embedded containers REPLACE the index (parse.js:171):
+                # only documents after the last container are eligible
+                if p.seq <= last_container:
+                    continue
                 tier = 0
             elif is_image(p.content_type):
                 tier = 1

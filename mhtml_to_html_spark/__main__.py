@@ -3,6 +3,7 @@
 Parity with the reference CLI (/root/reference/mod.js):
 
     python -m mhtml_to_html_spark INPUT... [--output OUT] [--enable-scripts]
+        [--fetch-missing-resources] [--version]
 
 - INPUT accepts files and globs (Spark path globs are native);
 - with one input and --output, the page goes to that exact path;
@@ -20,13 +21,23 @@ import os
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, fetch=None) -> int:
+    """CLI entry; ``fetch`` injects a fetch double for tests (the
+    reference CLI tests stub their fetch dependency the same way)."""
     parser = argparse.ArgumentParser(
         prog="mhtml-to-html-spark", description="Convert MHTML archives to HTML (Spark-parallel)."
     )
+    from mhtml_to_html_spark import __version__
+
     parser.add_argument("inputs", nargs="+", help="input files or globs")
     parser.add_argument("--output", help="output file (single input) or directory")
     parser.add_argument("--enable-scripts", action="store_true")
+    parser.add_argument(
+        "--fetch-missing-resources",
+        action="store_true",
+        help="fetch resources the archive does not carry (mod.js:17,43-46)",
+    )
+    parser.add_argument("--version", action="version", version=__version__)
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
 
@@ -51,7 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         for extra in frames[1:]:
             df = df.unionByName(extra)
 
-    pages = convert_archives(df).collect()
+    pages = convert_archives(
+        df,
+        enable_scripts=args.enable_scripts,
+        fetch_missing=args.fetch_missing_resources,
+        fetch=fetch,
+    ).collect()
     failures = 0
     single_output = args.output if len(pages) == 1 and args.output and not os.path.isdir(args.output) else None
     for row in pages:

@@ -184,3 +184,27 @@ def fetch_with_retries(url: str, max_retries: int = MAX_RETRIES) -> tuple[str, i
             return "failed", attempt + 1, total_delay
         total_delay += delay
         attempt += 1
+
+
+def resource_fetch_double(url: str) -> dict:
+    """Single-shot fetch double for ``--fetch-missing-resources``
+    (reference CLI tests stub fetch the same way, test/cli.test.js):
+    image-suffixed URLs get a deterministic synthesized image, anything
+    else a tiny HTML body. Module-level so Spark workers can unpickle
+    it by reference."""
+    from ..images.synth import encode_image, synth_image
+
+    key = canonicalize_url(url)
+    for suffix in ("png", "bmp", "gif", "jpg", "jpeg"):
+        if key.split("?")[0].endswith("." + suffix):
+            pixels = synth_image(_h(key, "res|") % 1024, 8, 6)
+            return {
+                "status": 200,
+                "content_type": f"image/{suffix}",
+                "body": encode_image(pixels, "bmp"),
+            }
+    return {
+        "status": 200,
+        "content_type": "text/html; charset=utf-8",
+        "body": b"<html><body>FETCHED</body></html>",
+    }

@@ -159,7 +159,7 @@ _WHATWG_LABELS: dict[str, str] = {
     "macintosh": "mac-roman",
     "x-mac-cyrillic": "mac-cyrillic",
     "ibm866": "cp866",
-    "x-user-defined": "latin-1",
+    "x-user-defined": "x-user-defined",  # custom table in decode_string
     "koi8-r": "koi8-r",
     "koi8": "koi8-r",
     "koi8-u": "koi8-u",
@@ -219,6 +219,12 @@ def decode_string(data: bytes, charset: str | None = None) -> str:
     (TextDecoder default ``ignoreBOM: false``).
     """
     codec = _resolve_codec(charset)
+    if codec == "x-user-defined":
+        # WHATWG x-user-defined: ASCII passthrough, 0x80-0xFF → U+F780-F7FF
+        # (TextDecoder semantics; latin-1 would diverge from the reference)
+        return "".join(
+            chr(b) if b < 0x80 else chr(0xF780 + b - 0x80) for b in data
+        )
     if codec == "utf-8" and data[:3] == b"\xef\xbb\xbf":
         data = data[3:]
     elif codec == "utf-16-le" and data[:2] == b"\xff\xfe":

@@ -512,6 +512,11 @@ class _Parser:
                         index_end -= 2
                     elif _ends_with_lf(embedded):
                         index_end -= 1
+                    # fresh index context: the embedded archive's index
+                    # (possibly None) REPLACES the outer one unconditionally
+                    # (parse.js:171 context.index = convertEmbeddedMhtml(...),
+                    # fresh context sharing only resources/frames/anomalies)
+                    self.index = None
                     self.parse(mhtml[embedded_start:index_end])
                     embedded_start = None
                 else:

@@ -260,6 +260,11 @@ def _convert(
                 if is_stylesheet(part.content_type):
                     inner = rewrite_stylesheet(part, _stylesheet_base(part))
                     part.text = inner
+                    # resource_uri encodes part.data — store the rewritten
+                    # sheet as UTF-8 bytes so nested url()/@import rewrites
+                    # survive inlining (convert.js:721-726 updates
+                    # resource.data before the data-URI is built)
+                    part.data = inner.encode("utf-8")
                 out.append(f"/* original URL: {resolved} */ url({resource_uri(part)})")
 
             def not_found():
@@ -598,6 +603,31 @@ def _fetch_with_reference_retries(fetch, url: str, max_retries: int):
 
 
 DEFAULT_MAX_PARALLEL_REQUESTS = 16  # convert.js:110
+
+
+def http_fetch(url: str) -> dict:
+    """Production fetch for ``--fetch-missing-resources`` (the
+    reference CLI uses the platform fetch, mod.js:17,41-46): stdlib
+    urllib, response shaped for :func:`fetch_and_convert`. Non-2xx
+    comes back as a status dict so the retry loop can classify it."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return {
+                "status": getattr(resp, "status", 200),
+                "content_type": resp.headers.get("Content-Type"),
+                "body": resp.read(),
+            }
+    except urllib.error.HTTPError as err:
+        headers = err.headers or {}
+        return {
+            "status": err.code,
+            "content_type": headers.get("Content-Type"),
+            "body": b"",
+            "retry_after": headers.get("Retry-After"),
+        }
 
 
 def _fetch_pool(missing: list[str], fetch, max_retries: int, max_parallel: int) -> dict:

@@ -8,6 +8,8 @@ cannot see inside UDFs anyway)."""
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 
 PAGES_SCHEMA = (
@@ -16,13 +18,21 @@ PAGES_SCHEMA = (
 )
 
 
-def _convert_batches(batches):
+def _convert_batches(
+    batches,
+    enable_scripts: bool = False,
+    fetch_missing: bool = False,
+    fetch=None,
+):
     import json
 
     import pandas as pd
 
     from ..mime.splitter import parse_mhtml
-    from .convert import convert_page
+    from .convert import convert_page, fetch_and_convert, http_fetch
+
+    if fetch_missing and fetch is None:
+        fetch = http_fetch
 
     for pdf in batches:
         rows = []
@@ -38,7 +48,11 @@ def _convert_batches(batches):
                 "error": None,
             }
             try:
-                page = convert_page(parse_mhtml(bytes(content)))
+                result = parse_mhtml(bytes(content))
+                if fetch_missing:
+                    page = fetch_and_convert(result, fetch, enable_scripts=enable_scripts)
+                else:
+                    page = convert_page(result, enable_scripts=enable_scripts)
                 row.update(
                     data=page.data,
                     title=page.title,
@@ -59,9 +73,24 @@ def _convert_batches(batches):
         )
 
 
-def convert_archives(archives: DataFrame) -> DataFrame:
+def convert_archives(
+    archives: DataFrame,
+    enable_scripts: bool = False,
+    fetch_missing: bool = False,
+    fetch=None,
+) -> DataFrame:
     """(archive_id, content) → one page row per archive; a broken
-    archive yields an error row instead of failing the batch."""
-    return archives.select("archive_id", "content").mapInPandas(
-        _convert_batches, schema=PAGES_SCHEMA
+    archive yields an error row instead of failing the batch.
+
+    ``enable_scripts`` / ``fetch_missing`` mirror the reference CLI's
+    ``--enable-scripts`` / ``--fetch-missing-resources`` (mod.js:16-17,
+    43-46); ``fetch`` is the fetch callable for the missing-resource
+    rounds (defaults to :func:`..operators.convert.http_fetch`) and
+    must be picklable (module-level)."""
+    fn = functools.partial(
+        _convert_batches,
+        enable_scripts=enable_scripts,
+        fetch_missing=fetch_missing,
+        fetch=fetch,
     )
+    return archives.select("archive_id", "content").mapInPandas(fn, schema=PAGES_SCHEMA)

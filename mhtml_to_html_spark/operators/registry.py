@@ -55,7 +55,13 @@ def registry_keys(parts: DataFrame) -> DataFrame:
 def select_index(parts: DataFrame) -> DataFrame:
     """First document-typed part per archive, with the reference's
     fallback tiers: document, else first image, else first text/plain
-    (parse.js:277-279; convert.js:663-679)."""
+    (parse.js:277-279; convert.js:663-679).
+
+    Embedded-MHTML rule (parse.js:171): each embedded container
+    REPLACES the outer index with the embedded archive's own — so the
+    document tier only considers documents after the LAST embedded
+    container; the image/text fallbacks (createDocument scanning the
+    whole resources map) are unrestricted."""
     ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
     tier = (
         F.when(ct.startswith("text/html") | ct.startswith("application/xhtml+xml"), 0)
@@ -63,7 +69,21 @@ def select_index(parts: DataFrame) -> DataFrame:
         .when(ct.startswith("text/plain"), 2)
         .otherwise(3)
     )
-    ranked = parts.withColumn("tier", tier).filter(F.col("tier") < 3)
+    w_arch = Window.partitionBy("archive_id")
+    last_container = F.max(
+        F.when(F.col("is_embedded_container"), F.col("seq"))
+    ).over(w_arch)
+    ranked = (
+        parts.withColumn("tier", tier)
+        .withColumn("_last_container", last_container)
+        .filter(F.col("tier") < 3)
+        .filter(
+            (F.col("tier") > 0)
+            | F.col("_last_container").isNull()
+            | (F.col("seq") > F.col("_last_container"))
+        )
+        .drop("_last_container")
+    )
     w = Window.partitionBy("archive_id").orderBy("tier", "seq")
     return (
         ranked.withColumn("rn", F.row_number().over(w))

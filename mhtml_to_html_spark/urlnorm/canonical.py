@@ -71,7 +71,10 @@ def _remove_dot_segments(path: str) -> str:
 
 
 def _normalize_host(host: str) -> str:
-    host = host.lower().rstrip(".") or host.lower()
+    # WHATWG `new URL().href` (the reference's parser) PRESERVES trailing
+    # dots in hosts, so `http://example.com./x` keeps its dot — stripping
+    # it would fork part ids / registry keys from the reference.
+    host = host.lower()
     if any(ord(c) > 127 for c in host):
         try:
             host = host.encode("idna").decode("ascii")
