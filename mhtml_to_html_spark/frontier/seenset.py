@@ -61,6 +61,13 @@ class CountingBloom:
     def might_contain(self, h64: int) -> bool:
         return bool(np.all(self.counts[self._positions(h64)] > 0))
 
+    def merge(self, other: "CountingBloom") -> None:
+        """Union by saturating counter add (the distributed-build merge:
+        per-partition partial filters sum into the global one)."""
+        assert other.n_bits == self.n_bits and other.k == self.k
+        total = self.counts.astype(np.uint16) + other.counts.astype(np.uint16)
+        self.counts = np.minimum(total, 255).astype(np.uint8)
+
     def might_contain_many(self, h64s: np.ndarray) -> np.ndarray:
         h1 = (h64s & 0xFFFFFFFF).astype(np.uint64)
         h2 = ((h64s >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
@@ -109,7 +116,13 @@ class CuckooFilter:
 
     def add(self, h64: int) -> None:
         fp = self._fingerprint(h64)
-        i1 = self._index1(h64)
+        self._insert_fp(self._index1(h64), fp)
+
+    def _insert_fp(self, i1: int, fp: int) -> None:
+        """Insert a fingerprint known to belong at bucket ``i1`` (or its
+        partial-key alternate). Never lossy: eviction overflow lands in
+        the stash, so ``contains`` has NO false negatives — the property
+        the seen-set prune's exactly-once guarantee rides on."""
         i2 = self._index2(i1, fp)
         for i in (i1, i2):
             empty = np.where(self.table[i] == 0)[0]
@@ -117,7 +130,7 @@ class CuckooFilter:
                 self.table[i, empty[0]] = fp
                 return
         # evict
-        rng = np.random.default_rng(h64 & 0xFFFFFFFF)  # deterministic kicks
+        rng = np.random.default_rng((i1 * 0x9E3779B1 + fp) & 0xFFFFFFFF)
         i = i1
         for _ in range(self.MAX_KICKS):
             slot = int(rng.integers(0, self.SLOTS))
@@ -128,6 +141,19 @@ class CuckooFilter:
                 self.table[i, empty[0]] = fp
                 return
         self.stash.add((i, fp))
+
+    def merge_from(self, other: "CuckooFilter") -> None:
+        """Union: re-insert every occupied slot of ``other`` at its
+        bucket index (valid because i ↔ i^hash(fp) is an involution, so
+        a fingerprint stored at bucket i still belongs to the same
+        bucket pair in the merged table). Stash entries carry their
+        bucket, so they re-insert the same way."""
+        assert other.n_buckets == self.n_buckets
+        buckets, slots = np.nonzero(other.table)
+        for i, s in zip(buckets.tolist(), slots.tolist()):
+            self._insert_fp(i, int(other.table[i, s]))
+        for i, fp in other.stash:
+            self._insert_fp(i, fp)
 
     def contains(self, h64: int) -> bool:
         fp = self._fingerprint(h64)
@@ -190,10 +216,13 @@ class ShardedSeenSet:
         return h64 % self.n_shards
 
     def add(self, key: str) -> None:
-        h = url_hash64(key)
-        s = self._shard(h)
-        self.blooms[s].add(h)
-        self.cuckoos[s].add(h)
+        self.add_h64(url_hash64(key))
+
+    def add_h64(self, h64: int) -> None:
+        h64 &= 0xFFFFFFFFFFFFFFFF
+        s = self._shard(h64)
+        self.blooms[s].add(h64)
+        self.cuckoos[s].add(h64)
 
     def remove(self, key: str) -> None:
         h = url_hash64(key)
@@ -202,9 +231,34 @@ class ShardedSeenSet:
         self.cuckoos[s].remove(h)
 
     def might_contain(self, key: str) -> bool:
-        h = url_hash64(key)
-        s = self._shard(h)
-        return self.blooms[s].might_contain(h) and self.cuckoos[s].contains(h)
+        return self.might_contain_h64(url_hash64(key))
+
+    def might_contain_h64(self, h64: int) -> bool:
+        h64 &= 0xFFFFFFFFFFFFFFFF
+        s = self._shard(h64)
+        return self.blooms[s].might_contain(h64) and self.cuckoos[s].contains(h64)
+
+    def might_contain_many(self, h64s: "np.ndarray") -> "np.ndarray":
+        """Vectorized probe: per-shard Bloom batch check first, then the
+        cuckoo verify only on the Bloom-positive sliver (the hybrid's
+        point: most probes stop at the Bloom)."""
+        h64s = h64s.astype(np.uint64)
+        out = np.zeros(len(h64s), dtype=bool)
+        shards = (h64s % np.uint64(self.n_shards)).astype(np.int64)
+        for s in range(self.n_shards):
+            idx = np.where(shards == s)[0]
+            if len(idx) == 0:
+                continue
+            bloom_hit = self.blooms[s].might_contain_many(h64s[idx])
+            for j in idx[bloom_hit]:
+                out[j] = self.cuckoos[s].contains(int(h64s[j]))
+        return out
+
+    def merge_shard(self, shard: int, bloom_blob: bytes, cuckoo_blob: bytes) -> None:
+        """Fold a distributed-build partial (one shard's per-partition
+        filters) into this set."""
+        self.blooms[shard].merge(CountingBloom.from_bytes(bloom_blob))
+        self.cuckoos[shard].merge_from(CuckooFilter.from_bytes(cuckoo_blob))
 
     def shard_blobs(self) -> list[tuple[int, bytes, bytes]]:
         return [

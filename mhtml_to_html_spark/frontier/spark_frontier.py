@@ -2,8 +2,8 @@
 
 Each round (the Spark shape of SURVEY.md §3.3):
 
-    frontier ──canonicalize──▶ dedup-first (window on key)
-             ──bloom prune + exact anti-join──▶ new candidates
+    frontier ──canonicalize──▶ dedup-first (min_by on key)
+             ──sharded bloom+cuckoo prune + exact anti-join──▶ new candidates
              ──salted repartitionByRange + secondary sort──▶ priority
              ──per-host budget window──▶ fetch_now / deferred
              ──fetch UDF (scripted double, retry/backoff)──▶ results
@@ -15,18 +15,32 @@ explicit columns (depth, host_rank, disc_seq) — the pure-Python oracle
 (oracle.py) replays the same semantics and the outputs must match
 byte-for-byte (tests/test_frontier.py).
 
-Scale notes:
-- the seen-set probe is bloom-pruned (``bloom_filter_agg`` /
-  ``might_contain``) so at 10^10 URLs the exact anti-join only sees
-  the maybe-seen sliver; the exact join keeps the crawl
-  false-positive-free (a bloom hit never silently drops a URL);
+Scale notes (no single-partition exchange, no driver-held state):
+- the seen-set is the north_rule's partitioned counting-Bloom +
+  cuckoo-filter hybrid, kept as a DataFrame of shard-blob rows
+  (seenset.py structures serialized per shard). Updates fold new keys
+  into their shard via cogroup-applyInPandas (one task per shard);
+  probes co-partition candidates with their shard's blob the same way
+  — the filter is never broadcast, never driver-held, and rides
+  snapshots as ordinary binary rows, so 10^10-key sizing (~10 GiB of
+  filter) never needs one machine. The exact key table stays the
+  source of truth: a filter false positive never drops a URL (exact
+  anti-join verifies the maybe-seen sliver), and because neither
+  structure has false negatives, a seen URL is never refetched;
 - the priority queue is repartitionByRange on (depth, host_rank,
   salt) + sortWithinPartitions: ranges keep the global order readable
   per partition, the salt splits hot hosts (skew);
-- the global fetch position exists only for the ordering contract; the
-  crawl itself needs order only WITHIN host (politeness) and the
-  priority ranges, so nothing at scale ever single-partitions except
-  the tiny per-round fetch manifest.
+- global fetch positions and discovery sequence numbers are assigned
+  by indexing.assign_global_index (two-pass zipWithIndex trick over
+  range-partitioned data) once the frontier passes the same adaptive
+  threshold as the range partitioner — above it a partitionless
+  window would funnel budget×hosts (or fanout×fetched) rows through
+  one task; below it the rows are few by definition and the window is
+  cheaper. Both paths produce the identical logical order and both are
+  pinned to the oracle by tests;
+- per-round metrics are one agg; nothing per-row ever reaches the
+  driver (the test-contract order collection at the very end is the
+  only exception, and ``collect_order=False`` turns it off).
 """
 
 from __future__ import annotations
@@ -38,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import SnapshotCatalog
+from .indexing import assign_global_index
 
 _FRONTIER_SCHEMA = "url string, depth int, disc_seq long"
 _CANON_SCHEMA = (
@@ -48,6 +63,7 @@ _FETCH_SCHEMA = (
     "delay_ms long, h64 long"
 )
 _CHILD_SCHEMA = "parent_pos long, child_idx int, url string, depth int"
+_SHARD_BLOB_SCHEMA = "shard int, bloom binary, cuckoo binary"
 
 
 def _canonicalize_batches(batches):
@@ -74,65 +90,102 @@ def _canonicalize_batches(batches):
         )
 
 
-_BLOOM_BITS = 1 << 20
+# --- sharded seen-set as a DataFrame of shard blobs ---------------------------
+#
+# The north_rule's partitioned counting-Bloom + cuckoo-filter hybrid,
+# kept WHERE a 10^10-key structure must live: as rows, one per shard,
+# co-partitioned with the keys that probe and update it. Nothing is
+# ever broadcast or driver-held — at 10^10 URLs the full filter is
+# ~10 GiB and only exists as the union of its shard rows (which is
+# also how it rides snapshots: ordinary binary columns in parquet).
+#
+# shard = h64 % n_shards with n_shards a power of two, so the JVM
+# pmod over the SIGNED h64 and Python's unsigned modulo agree
+# (2^64 ≡ 0 mod 2^k).
 
 
-def _partial_bloom_batches(batches):
-    """Per-partition counting-Bloom build over h64 keys → one blob row
-    per batch; the driver merges blobs by saturating counter add."""
-    import pandas as pd
-
-    from .seenset import CountingBloom
-
-    bloom = CountingBloom(_BLOOM_BITS, 4)
-    saw = False
-    for pdf in batches:
-        for h in pdf["h64"]:
-            bloom.add(int(h) & 0xFFFFFFFFFFFFFFFF)
-            saw = True
-    if saw:
-        yield pd.DataFrame({"blob": [bloom.to_bytes()]})
-    else:
-        yield pd.DataFrame({"blob": pd.Series([], dtype=object)})
+def _shard_col(n_shards: int):
+    return F.pmod(F.col("h64"), F.lit(n_shards)).cast("int")
 
 
-def build_bloom_distributed(seen_all: DataFrame):
-    """Distributed counting-Bloom over the seen set: partial filters
-    per partition, merged on the driver (counters add, saturating).
-    At 10^10 keys this is the shard-build loop of the north_rule's
-    partitioned structure; here shards collapse into one broadcastable
-    blob."""
-    import numpy as np
+def _seenset_merge_fn(bloom_bits: int, cuckoo_buckets: int):
+    """Cogroup(shard): (existing blob row | ∅) × (new h64 rows | ∅) →
+    updated blob row. Work per task is one shard's blob + its adds."""
 
-    from .seenset import CountingBloom
+    def merge(key, blob_pdf, adds_pdf):
+        import pandas as pd
 
-    blobs = seen_all.select("h64").mapInPandas(
-        _partial_bloom_batches, schema="blob binary"
-    ).collect()
-    merged = CountingBloom(_BLOOM_BITS, 4)
-    for row in blobs:
-        part = CountingBloom.from_bytes(bytes(row["blob"]))
-        total = merged.counts.astype(np.uint16) + part.counts.astype(np.uint16)
-        merged.counts = np.minimum(total, 255).astype(np.uint8)
-    return merged
+        from .seenset import CountingBloom, CuckooFilter
+
+        if len(blob_pdf):
+            bloom = CountingBloom.from_bytes(bytes(blob_pdf["bloom"].iloc[0]))
+            cuckoo = CuckooFilter.from_bytes(bytes(blob_pdf["cuckoo"].iloc[0]))
+        else:
+            bloom = CountingBloom(bloom_bits, 4)
+            cuckoo = CuckooFilter(cuckoo_buckets)
+        for h in adds_pdf["h64"]:
+            h = int(h) & 0xFFFFFFFFFFFFFFFF
+            bloom.add(h)
+            cuckoo.add(h)
+        return pd.DataFrame(
+            [{"shard": int(key[0]), "bloom": bloom.to_bytes(), "cuckoo": cuckoo.to_bytes()}]
+        )
+
+    return merge
 
 
-def _probe_bloom_batches_factory(bloom_blob: bytes):
-    def probe(batches):
+def seenset_merge(seenset_df: DataFrame, adds: DataFrame, n_shards: int,
+                  bloom_bits: int, cuckoo_buckets: int) -> DataFrame:
+    """Fold an ``h64`` column into the shard-blob table (lazy)."""
+    keyed = adds.select("h64").withColumn("shard", _shard_col(n_shards))
+    return (
+        seenset_df.groupby("shard")
+        .cogroup(keyed.groupby("shard"))
+        .applyInPandas(_seenset_merge_fn(bloom_bits, cuckoo_buckets), schema=_SHARD_BLOB_SCHEMA)
+    )
+
+
+def _seenset_probe_fn(out_schema_cols):
+    """Cogroup(shard): candidates × blob row → candidates + maybe_seen.
+    Vectorized Bloom reject first; cuckoo verify only on the
+    Bloom-positive sliver. No blob → shard has never seen a key."""
+
+    def probe(key, cand_pdf, blob_pdf):
         import numpy as np
         import pandas as pd
 
-        from .seenset import CountingBloom, url_hash64
+        from .seenset import CountingBloom, CuckooFilter
 
-        bloom = CountingBloom.from_bytes(bloom_blob)
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.assign(maybe_seen=pd.Series([], dtype=bool))
-                continue
-            hs = np.array([url_hash64(k) for k in pdf["key"]], dtype=np.uint64)
-            yield pdf.assign(maybe_seen=bloom.might_contain_many(hs))
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=out_schema_cols)
+        if len(blob_pdf) == 0:
+            return cand_pdf.assign(maybe_seen=False)
+        bloom = CountingBloom.from_bytes(bytes(blob_pdf["bloom"].iloc[0]))
+        cuckoo = CuckooFilter.from_bytes(bytes(blob_pdf["cuckoo"].iloc[0]))
+        hs = cand_pdf["h64"].to_numpy(dtype=np.int64).astype(np.uint64)
+        maybe = bloom.might_contain_many(hs)
+        hit_idx = np.where(maybe)[0]
+        for j in hit_idx:
+            maybe[j] = cuckoo.contains(int(hs[j]))
+        return cand_pdf.assign(maybe_seen=maybe)
 
     return probe
+
+
+def seenset_probe(candidates: DataFrame, seenset_df: DataFrame, n_shards: int) -> DataFrame:
+    """candidates (with h64) → + ``maybe_seen`` boolean; one task per
+    shard, each holding exactly one blob and its co-partitioned keys."""
+    keyed = candidates.withColumn("shard", _shard_col(n_shards))
+    cols = keyed.columns + ["maybe_seen"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields
+    ) + ", maybe_seen boolean"
+    return (
+        keyed.groupby("shard")
+        .cogroup(seenset_df.groupby("shard"))
+        .applyInPandas(_seenset_probe_fn(cols), schema=schema)
+        .drop("shard")
+    )
 
 
 def _robots_batches(batches):
@@ -259,12 +312,28 @@ def crawl_spark(
     hold_ms: int = 0,
     use_robots: bool = False,
     range_partition_threshold: int = 50_000,
+    seen_shards: int = 8,
+    seen_bloom_bits: int = 1 << 18,
+    seen_cuckoo_buckets: int = 1 << 13,
+    probe_threshold: int = 20_000,
     verbose: bool = False,
 ) -> SparkCrawlResult:
     """Run the crawl to fixpoint (or ``max_rounds``); optionally
     checkpoint each round to ``checkpoint_dir`` and resume from the
-    latest snapshot there."""
+    latest snapshot there.
+
+    Seen-set sizing: the hybrid filters are an accelerator, never the
+    source of truth, so undersizing degrades the prune (more rows pay
+    the exact anti-join) without ever corrupting the crawl. Size
+    ``seen_bloom_bits`` ≈ 10× expected keys per shard and
+    ``seen_cuckoo_buckets`` ≈ expected keys per shard / 3.8 (4-slot
+    buckets at ~95% load); at 10^10 URLs that is ~1.25 GiB of Bloom
+    counters across e.g. 1024 shards — the structure only ever exists
+    as shard rows co-partitioned with their keys, so nothing needs one
+    machine to hold (or broadcast) the whole filter."""
     from ..urlnorm import is_fetchable, unwrap_urn
+
+    assert seen_shards & (seen_shards - 1) == 0, "seen_shards must be a power of two"
 
     result = SparkCrawlResult()
     catalog = SnapshotCatalog(checkpoint_dir) if checkpoint_dir else None
@@ -276,6 +345,8 @@ def crawl_spark(
     empty_robots = spark.createDataFrame(
         [], "host string, disallow string, crawl_delay_level int"
     )
+    seenset_df = spark.createDataFrame([], _SHARD_BLOB_SCHEMA)
+    seenset_loaded = False
     if resume and catalog is not None and catalog.latest() is not None:
         manifest = catalog.latest()
         snap = manifest["snapshot_id"]
@@ -292,6 +363,11 @@ def crawl_spark(
         else:
             robots_cache = empty_robots
             blocked = empty_seen
+        try:
+            seenset_df = catalog.load_table(spark, snap, "seenset")
+            seenset_loaded = True
+        except Exception:
+            pass  # pre-seenset snapshot: rebuilt below
     else:
         rows = []
         for url in seeds:
@@ -307,19 +383,19 @@ def crawl_spark(
         robots_cache = empty_robots
         blocked = empty_seen
 
-    # driver-held incremental counting-Bloom over seen ∪ failed: each
-    # round adds only the newly fetched keys (budget-bounded, tiny); on
-    # resume it is rebuilt distributed from the checkpointed state
-    from .seenset import CountingBloom
-
-    bloom = CountingBloom(_BLOOM_BITS, 4)
     have_seen = start_round > 0
-    if have_seen:
+    if have_seen and not seenset_loaded:
+        # pre-seenset checkpoint: rebuild the hybrid distributed from
+        # the exact key tables (one cogroup pass, one task per shard)
         rebuilt_from = seen.unionByName(failed)
         if use_robots:
             rebuilt_from = rebuilt_from.unionByName(blocked)
-        bloom = build_bloom_distributed(rebuilt_from)
+        seenset_df = seenset_merge(
+            seenset_df, rebuilt_from, seen_shards, seen_bloom_bits, seen_cuckoo_buckets
+        ).localCheckpoint(eager=True)
     expected_frontier = frontier.count()
+    seen_total = sum(m["fetched"] + m.get("blocked", 0) for m in result.metrics)
+    n_par = max(spark.sparkContext.defaultParallelism, 4)
 
     for round_idx in range(start_round, max_rounds):
         # 1. canonicalize + host metadata (one vectorized UDF pass)
@@ -340,22 +416,27 @@ def crawl_spark(
             .select("first.url", "first.depth", "first.disc_seq", "key", "first.host", "first.host_rank", "first.h64")
         )
 
-        # 3. seen/failed pruning: the counting-Bloom prunes (definitely
-        #    new URLs skip the shuffle entirely); the exact anti-join
-        #    verifies the maybe-seen sliver, keeping the crawl
-        #    false-positive-free
+        # 3. seen/failed pruning: the sharded Bloom+cuckoo hybrid prunes
+        #    (definitely-new URLs skip the anti-join entirely); the
+        #    exact anti-join verifies the maybe-seen sliver, keeping the
+        #    crawl false-positive-free. The probe co-partitions
+        #    candidates with the shard blobs — nothing is broadcast.
+        #    Below ``probe_threshold`` seen keys the filter accelerates
+        #    nothing (the exact anti-join is already a small-table
+        #    join), so the prune stage is skipped — the filter is an
+        #    accelerator by contract, never the source of truth.
         if have_seen:
             seen_all = seen.unionByName(failed)
             if use_robots:
                 seen_all = seen_all.unionByName(blocked)
-            probed = deduped.mapInPandas(
-                _probe_bloom_batches_factory(bloom.to_bytes()),
-                schema=_CANON_SCHEMA + ", maybe_seen boolean",
-            )
-            definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-            verified_new = maybe.join(seen_all.select("key"), "key", "left_anti")
-            candidates = definite_new.unionByName(verified_new)
+            if seen_total >= probe_threshold:
+                probed = seenset_probe(deduped, seenset_df, seen_shards)
+                definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                verified_new = maybe.join(seen_all.select("key"), "key", "left_anti")
+                candidates = definite_new.unionByName(verified_new)
+            else:
+                candidates = deduped.join(seen_all.select("key"), "key", "left_anti")
         else:
             candidates = deduped
 
@@ -364,6 +445,7 @@ def crawl_spark(
         #     broadcast join classifies candidates; disallowed URLs go
         #     to the permanent blocked set
         n_blocked = 0
+        newly_blocked = None
         if use_robots:
             new_hosts = (
                 candidates.select("host").distinct().join(robots_cache, "host", "left_anti")
@@ -379,8 +461,6 @@ def crawl_spark(
             newly_blocked = with_rules.filter(~F.col("allowed")).select("key", "h64")
             n_blocked = newly_blocked.count()
             blocked = blocked.unionByName(newly_blocked)
-            for row in newly_blocked.collect():
-                bloom.add(row["h64"] & 0xFFFFFFFFFFFFFFFF)
             candidates = with_rules.filter(F.col("allowed")).drop("allowed", "disallow")
 
         # 4. priority queue: salted range partitioning + secondary sort
@@ -395,7 +475,7 @@ def crawl_spark(
         if expected_frontier >= range_partition_threshold:
             salt = (F.xxhash64("key") % salt_buckets).cast("int")
             prioritized = candidates.withColumn("salt", salt).repartitionByRange(
-                max(spark.sparkContext.defaultParallelism, 4),
+                n_par,
                 "depth",
                 "host_rank",
                 "salt",
@@ -430,10 +510,27 @@ def crawl_spark(
             "url", "depth", "disc_seq"
         )
 
-        # 6. global fetch position (ordering-contract artifact; the
-        #    per-round fetch manifest is budget×hosts rows, tiny)
-        w_global = Window.orderBy("depth", "host_rank", "disc_seq")
-        manifest_df = fetch_now.withColumn("pos", F.row_number().over(w_global) - 1)
+        # 6. global fetch position (ordering contract). Above the same
+        #    adaptive threshold as step 4, a distributed two-pass index
+        #    over (depth, host_rank, disc_seq) — at budget×hosts rows
+        #    per round a partitionless window would single-task the
+        #    whole manifest. Below it the manifest is small by
+        #    definition and the window is cheaper (same logical order
+        #    either way; tests force both paths against the oracle).
+        use_dist_index = expected_frontier >= range_partition_threshold
+        manifest_cols = fetch_now.select("key", "depth", "host_rank", "disc_seq")
+        if use_dist_index:
+            manifest_df = assign_global_index(
+                manifest_cols,
+                ["depth", "host_rank", "disc_seq"],
+                out_col="pos",
+                num_partitions=n_par,
+            )
+        else:
+            w_global = Window.orderBy("depth", "host_rank", "disc_seq")
+            manifest_df = manifest_cols.withColumn(
+                "pos", (F.row_number().over(w_global) - 1).cast("long")
+            )
 
         # 7. fetch (scripted double, retry/backoff inside the UDF) —
         #    repartition the manifest so the politeness-bounded fetch
@@ -448,39 +545,63 @@ def crawl_spark(
         # 4 waves of tasks per slot: hash partitioning is only
         # approximately even, and with one wave the slowest partition
         # IS the stage time — finer tasks cut the straggler tail
-        n_par = max(spark.sparkContext.defaultParallelism, 4) * 4
         fetched = (
             manifest_df.select("key", "depth", "disc_seq", "pos")
-            .repartition(n_par, "key")
+            .repartition(n_par * 4, "key")
             .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
         fetched = fetched.localCheckpoint(eager=True)
         _t2 = _time.perf_counter()
 
         # 8. link discovery from ok fetches; disc_seq continues the
-        #    global counter in (parent_pos, child_idx) order
+        #    global counter in (parent_pos, child_idx) order — same
+        #    distributed index assignment (fanout×fetched rows is the
+        #    bigger of the two per-round orderings)
         ok = fetched.filter(F.col("status") == "ok")
         children_fn = functools.partial(_children_batches, fanout=fanout, n_hosts=n_hosts)
         children = ok.select("pos", "key", "depth").mapInPandas(
             children_fn, schema=_CHILD_SCHEMA
         )
-        w_child = Window.orderBy("parent_pos", "child_idx")
-        discovered = children.withColumn(
-            "disc_seq", (F.row_number().over(w_child) - 1 + F.lit(disc_total)).cast("long")
-        ).select("url", "depth", "disc_seq")
+        n_discovered = None
+        if use_dist_index:
+            discovered, n_discovered = assign_global_index(
+                children,
+                ["parent_pos", "child_idx"],
+                out_col="disc_seq",
+                start=disc_total,
+                num_partitions=n_par,
+                return_count=True,
+            )
+            discovered = discovered.select("url", "depth", "disc_seq")
+        else:
+            w_child = Window.orderBy("parent_pos", "child_idx")
+            discovered = children.withColumn(
+                "disc_seq",
+                (F.row_number().over(w_child) - 1 + F.lit(disc_total)).cast("long"),
+            ).select("url", "depth", "disc_seq")
 
-        # 9. state updates: the round's fetch rows are budget-bounded,
-        #    so they come to the driver for metrics, order accounting
-        #    and the incremental bloom add — one collect, no extra jobs
-        fetch_rows = fetched.select(
-            "pos", "key", "depth", "status", "attempts", "delay_ms", "h64"
-        ).collect()
+        # 9. state updates — all distributed: metrics via one agg, the
+        #    hybrid seen-set via a per-shard cogroup fold (one task per
+        #    shard, work = blob + its adds); no per-row collect anywhere
         new_seen = ok.select("key", "h64")
         new_failed = fetched.filter(F.col("status") != "ok").select("key", "h64")
         seen = seen.unionByName(new_seen)
         failed = failed.unionByName(new_failed)
-        for row in fetch_rows:
-            bloom.add(row["h64"] & 0xFFFFFFFFFFFFFFFF)
+        stats = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+            F.sum("attempts").alias("attempts"),
+            F.sum("delay_ms").alias("delay_ms"),
+        ).collect()[0]
+        n_fetched = int(stats["n"] or 0)
+        n_ok = int(stats["ok"] or 0)
+        seen_adds = fetched.select("h64")
+        if use_robots and n_blocked:
+            seen_adds = seen_adds.unionByName(newly_blocked.select("h64"))
+        seenset_df = seenset_merge(
+            seenset_df, seen_adds, seen_shards, seen_bloom_bits, seen_cuckoo_buckets
+        ).localCheckpoint(eager=True)
+        seen_total += n_fetched + n_blocked
         have_seen = True
 
         round_order = fetched.select(
@@ -493,10 +614,9 @@ def crawl_spark(
         )
         order_acc = order_acc.unionByName(round_order)
 
-        n_fetched = len(fetch_rows)
-        n_ok = sum(1 for r in fetch_rows if r["status"] == "ok")
         n_deferred = budgeted.filter(F.col("host_pos") > F.col("token_budget")).count()
-        n_discovered = discovered.count()
+        if n_discovered is None:
+            n_discovered = discovered.count()
         disc_total += n_discovered
         expected_frontier = n_deferred + n_discovered
         round_metrics = {
@@ -504,10 +624,10 @@ def crawl_spark(
             "fetched": n_fetched,
             "ok": n_ok,
             "failed": n_fetched - n_ok,
-            "attempts": sum(r["attempts"] for r in fetch_rows),
+            "attempts": int(stats["attempts"] or 0),
             "deferred": n_deferred,
             "blocked": n_blocked,
-            "virtual_delay_ms": sum(r["delay_ms"] for r in fetch_rows),
+            "virtual_delay_ms": int(stats["delay_ms"] or 0),
         }
         result.metrics.append(round_metrics)
         if verbose:
@@ -520,15 +640,18 @@ def crawl_spark(
         frontier = deferred.unionByName(discovered)
 
         # 10. checkpoint: snapshot cuts lineage AND makes the crawl
-        #     resumable with per-partition manifest lineage; without a
-        #     catalog, `budgeted`/`fetched` are already materialized so
-        #     the next round's lineage stays one round deep
+        #     resumable with per-partition manifest lineage; the hybrid
+        #     seen-set rides along as ordinary binary rows (one per
+        #     shard), so resume never rebuilds it. Without a catalog,
+        #     `budgeted`/`fetched` are already materialized so the next
+        #     round's lineage stays one round deep.
         if catalog is not None:
             tables = {
                 "frontier": frontier,
                 "seen": seen,
                 "failed": failed,
                 "order": order_acc,
+                "seenset": seenset_df,
             }
             if use_robots:
                 tables["robots"] = robots_cache
@@ -543,6 +666,7 @@ def crawl_spark(
             seen = catalog.load_table(spark, snap, "seen")
             failed = catalog.load_table(spark, snap, "failed")
             order_acc = catalog.load_table(spark, snap, "order")
+            seenset_df = catalog.load_table(spark, snap, "seenset")
             if use_robots:
                 robots_cache = catalog.load_table(spark, snap, "robots")
                 blocked = catalog.load_table(spark, snap, "blocked")

@@ -163,3 +163,45 @@ def test_spark_resume_from_checkpoint(spark, oracle_result, tmp_path):
     assert resumed.order == oracle_result.order, "resumed crawl diverged"
     assert resumed.seen == oracle_result.seen
     assert resumed.failed == oracle_result.failed
+
+
+@pytest.mark.spark
+def test_spark_matches_oracle_with_forced_probe_path(spark, oracle_result):
+    """The sharded Bloom+cuckoo probe path (forced on at any size) must
+    not change the crawl: exactly-once, ordering, seen/failed all
+    byte-identical to the oracle."""
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    res = crawl_spark(
+        spark,
+        SEEDS,
+        max_rounds=MAX_ROUNDS,
+        host_budget=BUDGET,
+        probe_threshold=0,
+    )
+    assert res.order == oracle_result.order
+    assert res.seen == oracle_result.seen
+    assert res.failed == oracle_result.failed
+
+
+@pytest.mark.spark
+def test_saturated_filters_never_drop_urls(spark, oracle_result):
+    """The false-positive-free contract: with absurdly undersized
+    filters (every probe answers maybe-seen) the exact anti-join still
+    keeps the crawl byte-identical — the filter is an accelerator,
+    never the source of truth."""
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    res = crawl_spark(
+        spark,
+        SEEDS,
+        max_rounds=MAX_ROUNDS,
+        host_budget=BUDGET,
+        probe_threshold=0,
+        seen_shards=2,
+        seen_bloom_bits=64,
+        seen_cuckoo_buckets=8,
+    )
+    assert res.order == oracle_result.order
+    assert res.seen == oracle_result.seen
+    assert res.failed == oracle_result.failed

@@ -92,3 +92,68 @@ def test_sharded_hybrid_round_trip():
     for k in KEYS[:300]:
         restored.remove(k)
     assert all(restored.might_contain(k) for k in KEYS[300:])
+
+
+def test_bloom_merge_equals_single_build():
+    a, b, whole = CountingBloom(1 << 14, 4), CountingBloom(1 << 14, 4), CountingBloom(1 << 14, 4)
+    for k in KEYS[:1000]:
+        a.add(url_hash64(k))
+        whole.add(url_hash64(k))
+    for k in KEYS[1000:]:
+        b.add(url_hash64(k))
+        whole.add(url_hash64(k))
+    a.merge(b)
+    assert np.array_equal(a.counts, whole.counts)
+
+
+def test_cuckoo_merge_no_false_negatives():
+    a, b = CuckooFilter(1 << 10), CuckooFilter(1 << 10)
+    for k in KEYS[:1000]:
+        a.add(url_hash64(k))
+    for k in KEYS[1000:]:
+        b.add(url_hash64(k))
+    a.merge_from(b)
+    assert all(a.contains(url_hash64(k)) for k in KEYS), (
+        "merge lost a fingerprint — the exactly-once guarantee rides on this"
+    )
+
+
+def test_cuckoo_merge_overflow_lands_in_stash():
+    # deliberately tiny: way past capacity, stash must absorb everything
+    a, b = CuckooFilter(8), CuckooFilter(8)
+    for k in KEYS[:300]:
+        a.add(url_hash64(k))
+    for k in KEYS[300:600]:
+        b.add(url_hash64(k))
+    a.merge_from(b)
+    assert all(a.contains(url_hash64(k)) for k in KEYS[:600])
+
+
+def test_sharded_vectorized_probe_matches_scalar():
+    s = ShardedSeenSet(n_shards=8, bloom_bits=1 << 14, cuckoo_buckets=1 << 8)
+    for k in KEYS[:1000]:
+        s.add(k)
+    hs = np.array([url_hash64(k) for k in KEYS[:1000] + ABSENT[:1000]], dtype=np.uint64)
+    vec = s.might_contain_many(hs)
+    scalar = [s.might_contain_h64(int(h)) for h in hs]
+    assert vec.tolist() == scalar
+    assert vec[:1000].all(), "a seen key probed definitely-new"
+
+
+def test_sharded_capacity_million_keys():
+    """North-rule scale contract: at 10^6 keys the hybrid stays
+    false-negative-free (hard requirement) with a useful
+    false-positive rate (the prune actually prunes)."""
+    n = 1_000_000
+    rng = np.random.default_rng(42)
+    present = rng.integers(0, 1 << 63, size=n, dtype=np.int64).astype(np.uint64)
+    absent = (
+        rng.integers(0, 1 << 63, size=100_000, dtype=np.int64).astype(np.uint64)
+        | np.uint64(1 << 63)
+    )  # disjoint by the top bit
+    s = ShardedSeenSet(n_shards=16, bloom_bits=1 << 20, cuckoo_buckets=1 << 16)
+    for h in present:
+        s.add_h64(int(h))
+    assert s.might_contain_many(present).all(), "false negative at 10^6 keys"
+    fpp = s.might_contain_many(absent).mean()
+    assert fpp < 0.02, f"false-positive rate {fpp:.3%} — the prune is useless"
