@@ -301,6 +301,12 @@ def q_sim_neardup(spark, sf_dir):
     return neardup_pairs(_load(spark, sf_dir, "embeddings"), 0.42)
 
 
+def q_sim_neardup_lsh(spark, sf_dir):
+    from mhtml_to_html_spark.operators.similarity import neardup_pairs_lsh
+
+    return neardup_pairs_lsh(_load(spark, sf_dir, "embeddings"), 0.42)
+
+
 # --------------------------------------------------------------------------
 # MHTML queries (synthetic corpus; oracles are pure-Python VALUES)
 # --------------------------------------------------------------------------
@@ -791,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_neardup": q_sim_neardup,
+        "sim_neardup_lsh": q_sim_neardup_lsh,
         "mhtml_parts": q_mhtml_parts,
         "mhtml_registry": q_mhtml_registry,
         "mhtml_index": q_mhtml_index,
@@ -954,6 +961,19 @@ SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
        {_cosine_expr('a.embedding', 'b.embedding')} AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cosine_expr('a.embedding', 'b.embedding')} >= 0.42
+ORDER BY vec_a, vec_b""",
+        "sim_neardup_lsh": f"""
+WITH b AS (
+  SELECT *,
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(bb.vec_id AS BIGINT) AS vec_b,
+       {_cosine_expr('a.embedding', 'bb.embedding')} AS cosine
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE {_cosine_expr('a.embedding', 'bb.embedding')} >= 0.42
 ORDER BY vec_a, vec_b""",
         "mhtml_parts": _mhtml_parts_values(),
         "mhtml_registry": _mhtml_registry_values(),

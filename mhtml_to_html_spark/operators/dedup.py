@@ -83,11 +83,24 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    band_size: int = MINHASH_BAND_SIZE,
+    bucket_cap: int = 64,
+    skew_salts: int = 8,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all hashes of any band become a
     candidate pair (doc_a < doc_b). Join key is (band_idx, band_key) so
-    the shuffle only co-locates same-bucket docs."""
+    the shuffle only co-locates same-bucket docs.
+
+    Hot buckets (mass-duplicated boilerplate is a real web phenomenon):
+    buckets up to ``bucket_cap`` members pair up via an in-array
+    combination (one row per bucket, cheap); bigger buckets switch to a
+    SALTED within-bucket self-join — side A salted by doc hash, side B
+    replicated across the salts — so a million-doc bucket spreads over
+    ``skew_salts`` × partitions instead of building one giant
+    collect_set row in a single task. Results are identical either way
+    (the cap only picks the physical plan)."""
     sigs = minhash_signatures(docs, k)
     n_bands = k // band_size
     bands = sigs.select(
@@ -108,16 +121,21 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
-    # bucket-then-combinations instead of a self-join: the signature
-    # pipeline is evaluated ONCE, and only same-bucket docs pair up
-    # (bucket membership lists are small by construction — a huge
-    # bucket means actual duplicates, which is the answer anyway)
-    buckets = (
+    sizes = (
         bands.groupBy("band_idx", "band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
     )
-    pairs = buckets.select(
+    tagged = bands.join(sizes, ["band_idx", "band_key"])
+
+    # small buckets: one partial-aggregating groupBy, combinations
+    # inside the (bounded) array
+    small_buckets = (
+        tagged.filter(F.col("n") <= bucket_cap)
+        .groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+    )
+    small_pairs = small_buckets.select(
         F.explode(
             F.flatten(
                 F.expr(
@@ -126,8 +144,25 @@ def minhash_lsh_pairs(
                 )
             )
         ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+    # hot buckets: salted self-join — each pair meets exactly once, in
+    # doc_a's salt group
+    big = tagged.filter(F.col("n") > bucket_cap).select("band_idx", "band_key", "doc_id")
+    big_a = big.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(skew_salts)).cast("int"))
+    big_b = big.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(skew_salts - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))
+    big_pairs = (
+        big_a.alias("a")
+        .join(
+            big_b.alias("b"),
+            ["band_idx", "band_key", "salt"],
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:

@@ -81,6 +81,34 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.42) -> DataFrame:
     )
 
 
+def neardup_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.42, dims: int = 4
+) -> DataFrame:
+    """Embedding near-dup, the scale shape: sign-bucket LSH candidate
+    generation (equi-join on the bucket — a hash join, never a
+    BroadcastNestedLoopJoin over the full relation) + the exact cosine
+    kernel as the within-bucket rerank. Misses cross-bucket pairs by
+    construction (the LSH recall trade); ``neardup_pairs`` is the
+    exact all-pairs verifier for corpora small enough to afford it."""
+    bucketed = embeddings.withColumn("bucket", _sign_bucket(F.col("embedding"), dims))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            F.col("vec_a").cast("long").alias("vec_a"),
+            F.col("vec_b").cast("long").alias("vec_b"),
+            F.round(cosine_similarity_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def phash_neardup(images: DataFrame, max_distance: int = 6) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over an image table
     (image_id, phash:int64): Hamming distance via xor + bit_count,

@@ -122,3 +122,50 @@ def test_global_index_matches_window_order(spark):
     w = Window.orderBy("depth", "host_rank", "disc_seq")
     ref = df.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
     assert sorted(map(tuple, dist.collect())) == sorted(map(tuple, ref.collect()))
+
+
+@pytest.mark.spark
+def test_neardup_lsh_no_nested_loop_join(spark):
+    """The bucketed near-dup (VERDICT r1 item 4) must candidate-join on
+    the bucket key, never BroadcastNestedLoopJoin the full relation."""
+    from mhtml_to_html_spark.operators.similarity import neardup_pairs_lsh
+
+    plan = plan_of(
+        neardup_pairs_lsh(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), 0.42)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_minhash_hot_bucket_paths_agree(spark):
+    """bucket_cap only picks the physical plan: forcing every bucket
+    down the salted-self-join path must return the identical pair set
+    as the in-array combination path."""
+    from mhtml_to_html_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    small_path = minhash_lsh_pairs(docs, bucket_cap=10**9)
+    join_path = minhash_lsh_pairs(docs, bucket_cap=0)
+    a = sorted(map(tuple, small_path.collect()))
+    b = sorted(map(tuple, join_path.collect()))
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.spark
+def test_minhash_skewed_duplicate_cluster(spark):
+    """One 1000-doc duplicate cluster (the hot-bucket web reality): the
+    salted path must produce exactly C(1000,2) candidate pairs without
+    building a 1000-doc array in any single task."""
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across the whole web corpus").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_lsh_pairs(docs, bucket_cap=64, skew_salts=8)
+    assert pairs.count() == 1000 * 999 // 2
