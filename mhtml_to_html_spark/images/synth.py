@@ -144,21 +144,27 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def phash64(pixels: np.ndarray) -> int:
     """64-bit average hash: 8x8 grayscale downsample, bit = above mean.
-    Returned as signed int64 (Spark LongType / input_hint phash:int64)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(8) * w) // 8
-    ye = np.append(ys[1:], h)
-    xe = np.append(xs[1:], w)
-    cells = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = gray[ys[i] : ye[i], xs[j] : xe[j]].mean()
+    Returned as signed int64 (Spark LongType / input_hint phash:int64).
+
+    Vectorized: block sums via an exact integer 2-D prefix sum (one
+    cumsum instead of 64 sliced .mean() calls — this function sits in
+    the synth/decode hot path)."""
+    gray3 = pixels.astype(np.int64).sum(axis=2)  # 3x grayscale, exact
+    h, w = gray3.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    prefix = np.zeros((h + 1, w + 1), dtype=np.int64)
+    prefix[1:, 1:] = gray3.cumsum(0).cumsum(1)
+    block_sums = (
+        prefix[ys[1:, None], xs[None, 1:]]
+        - prefix[ys[:-1, None], xs[None, 1:]]
+        - prefix[ys[1:, None], xs[None, :-1]]
+        + prefix[ys[:-1, None], xs[None, :-1]]
+    )
+    counts = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    cells = block_sums / (counts * 3.0)
     bits = (cells > cells.mean()).flatten()
-    value = 0
-    for bit in bits:
-        value = (value << 1) | int(bit)
+    value = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # two's-complement into int64
     if value >= 1 << 63:
         value -= 1 << 64
