@@ -372,6 +372,147 @@ def q_mhtml_pages(spark, sf_dir):
     ).orderBy("archive_id")
 
 
+# --- golden parity vectors (reference-pinned, NOT computed by convert_page) --
+
+_GOLDEN_BOUNDARY = "----=_NextPart_000_0000_01C654E0.7F0AD5A0"
+_GOLDEN_LOCATION = "https://example.invalid/page.htm"
+_GOLDEN_HELLO = "Привет"  # charset.test.js:14
+_GOLDEN_PNG_B64 = (
+    "iVBORw0KGgoAAAABSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDw"
+    "AEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def _golden_fixtures() -> list[tuple[str, bytes]]:
+    """Fixture archives rebuilt byte-for-byte from the reference's own
+    test suites (test/charset.test.js:177-218, test/document.test.js:
+    124-161). The expected checks in the mhtml_golden oracle are the
+    REFERENCE's assertions, hand-transcribed — independent of this
+    repo's convert_page."""
+    import base64
+
+    B, LOC = _GOLDEN_BOUNDARY, _GOLDEN_LOCATION
+
+    def cat(*parts):
+        return b"".join(
+            p if isinstance(p, bytes) else p.encode("latin-1") for p in parts
+        )
+
+    hello_1251 = _GOLDEN_HELLO.encode("cp1251")
+    g1 = cat(
+        f'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="{B}"\r\n\r\n',
+        f'--{B}\r\nContent-Type: text/html; charset="windows-1251"\r\n',
+        f"Content-Transfer-Encoding: 8bit\r\nContent-Location: {LOC}\r\n\r\n",
+        '<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1251">',
+        '<meta http-equiv="content-type" name="other" content="text/html; charset=windows-1251">',
+        "</head><body><p>", hello_1251, f"</p></body></html>\r\n--{B}--\r\n",
+    )
+    g2 = cat(
+        f'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="{B}"\r\n\r\n',
+        f"--{B}\r\nContent-Type: text/html\r\n",
+        f"Content-Transfer-Encoding: 8bit\r\nContent-Location: {LOC}\r\n\r\n",
+        '<html><head><meta charset="windows-1251">',
+        '<meta http-equiv="Content-Type" content="text/html; charset=windows-1251">',
+        "</head><body><p>", hello_1251, f"</p></body></html>\r\n--{B}--\r\n",
+    )
+
+    def page(head="", body="", parts=()):
+        doc = (
+            f"--{B}\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Transfer-Encoding: 8bit\r\n"
+            f"Content-Location: https://example.com/\r\n\r\n"
+            f"<html><head>{head}</head><body>{body}</body></html>"
+        )
+        return cat(
+            f'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="{B}"\r\n\r\n',
+            doc, *[f"\r\n{p}" for p in parts], f"\r\n--{B}--\r\n",
+        )
+
+    g3 = page(
+        head='<script>boom()</script>'
+        '<script type="application/ld+json">{"@type":"Thing"}</script>'
+    )
+    img_part = (
+        f"--{B}\r\nContent-Type: image/png\r\nContent-Transfer-Encoding: base64\r\n"
+        f"Content-Location: https://example.com/i.png\r\n\r\n{_GOLDEN_PNG_B64}"
+    )
+    g4 = page(
+        body='<div><template shadowmode="open"><img src="i.png"></template></div>',
+        parts=[img_part],
+    )
+    css = b"\xff\xfe" + '@charset "koi8-r";p{color:red}'.encode("utf-16-le")
+    sheet_part = (
+        f"--{B}\r\nContent-Type: text/css\r\nContent-Transfer-Encoding: base64\r\n"
+        f"Content-Location: https://example.com/s.css\r\n\r\n"
+        f"{base64.b64encode(css).decode('ascii')}"
+    )
+    g5 = page(head='<link rel="stylesheet" href="s.css">', parts=[sheet_part])
+    return [("g1", g1), ("g2", g2), ("g3", g3), ("g4", g4), ("g5", g5)]
+
+
+# (case_id, check_name, column expression) — the reference assertion each
+# check transcribes is cited in _MHTML_GOLDEN_EXPECTED below
+def _golden_checks():
+    d = F.col("data")
+    return [
+        ("g1", "has_hello", d.contains(_GOLDEN_HELLO)),
+        ("g1", "stale_charset_decl", d.rlike("(?i)charset=windows-1251")),
+        ("g2", "has_hello", d.contains(_GOLDEN_HELLO)),
+        ("g2", "any_windows_1251", d.rlike("(?i)windows-1251")),
+        ("g3", "script_survived", d.contains("boom()")),
+        ("g3", "jsonld_kept", d.contains('"@type":"Thing"')),
+        ("g4", "shadowrootmode_renamed", d.contains('shadowrootmode="open"')),
+        ("g4", "legacy_shadowmode_left", d.rlike('(?<!root)shadowmode="open"')),
+        ("g4", "template_image_inlined", d.contains(f"data:image/png;base64,{_GOLDEN_PNG_B64}")),
+        ("g5", "charset_rule_reread", d.contains("p{color:red}")),
+        ("g5", "charset_rule_left", d.contains("@charset")),
+    ]
+
+
+# Hand-pinned from the reference's assertions (NOT computed here):
+# charset.test.js:184-200 (g1), :202-218 (g2), document.test.js:124-133
+# (g3), :153-161 (g4), charset.test.js:177-182 (g5).
+_MHTML_GOLDEN_EXPECTED = [
+    ("g1", "has_hello", True),
+    ("g1", "stale_charset_decl", False),
+    ("g2", "has_hello", True),
+    ("g2", "any_windows_1251", False),
+    ("g3", "script_survived", False),
+    ("g3", "jsonld_kept", True),
+    ("g4", "shadowrootmode_renamed", True),
+    ("g4", "legacy_shadowmode_left", False),
+    ("g4", "template_image_inlined", True),
+    ("g5", "charset_rule_reread", True),
+    ("g5", "charset_rule_left", False),
+]
+
+
+def q_mhtml_golden(spark, sf_dir):
+    """Reference-parity golden vectors: convert the reference suites'
+    own fixture archives and evaluate their assertions as columns; the
+    oracle is the hand-transcribed expected values (the one MHTML
+    oracle NOT derived from this repo's kernel)."""
+    from mhtml_to_html_spark.operators.pages import convert_archives
+
+    fixtures = spark.createDataFrame(
+        [(cid, bytearray(raw)) for cid, raw in _golden_fixtures()],
+        "archive_id string, content binary",
+    )
+    pages = convert_archives(fixtures).select("archive_id", "data")
+    pieces = [
+        pages.filter(F.col("archive_id") == cid).select(
+            F.col("archive_id").alias("case_id"),
+            F.lit(check).alias("check_name"),
+            expr.alias("passed"),
+        )
+        for cid, check, expr in _golden_checks()
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("case_id", "check_name")
+
+
 def q_mhtml_anomalies(spark, sf_dir):
     """Anomaly accounting over a corpus of deliberately malformed
     archives (boundary recovery, missing delimiters, mislabeled
@@ -801,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhtml_parts": q_mhtml_parts,
         "mhtml_registry": q_mhtml_registry,
         "mhtml_index": q_mhtml_index,
+        "mhtml_golden": q_mhtml_golden,
         "mhtml_images": q_mhtml_images,
         "mhtml_anomalies": q_mhtml_anomalies,
         "mhtml_pages": q_mhtml_pages,
@@ -978,6 +1120,13 @@ ORDER BY vec_a, vec_b""",
         "mhtml_parts": _mhtml_parts_values(),
         "mhtml_registry": _mhtml_registry_values(),
         "mhtml_index": _mhtml_index_values(),
+        "mhtml_golden": _values_oracle(
+            [
+                {"case_id": c, "check_name": n, "passed": v}
+                for c, n, v in _MHTML_GOLDEN_EXPECTED
+            ],
+            {"case_id": "VARCHAR", "check_name": "VARCHAR", "passed": "BOOLEAN"},
+        ) + " ORDER BY case_id, check_name",
         "mhtml_images": _mhtml_images_values(),
         "mhtml_anomalies": _mhtml_anomalies_values(),
         "mhtml_pages": _mhtml_pages_values(),
