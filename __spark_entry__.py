@@ -301,6 +301,31 @@ def q_sim_neardup(spark, sf_dir):
     return neardup_pairs(_load(spark, sf_dir, "embeddings"), 0.42)
 
 
+def _sim_lsh_multiprobe_oracle(dims: int = 8) -> str:
+    bucket = "(" + " || ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(dims)
+    ) + ")"
+    flips = ", ".join(
+        f"substr(qbucket, 1, {i}) || "
+        f"(CASE WHEN substr(qbucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(qbucket, {i + 2})"
+        for i in range(dims)
+    )
+    return f"""
+WITH b AS (SELECT *, {bucket} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+p AS (SELECT qv, unnest([qbucket, {flips}]) AS bucket FROM q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, bucket, {_cosine_expr('embedding', 'qv')} AS cosine
+FROM b JOIN p USING (bucket) WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def q_sim_lsh_multiprobe(spark, sf_dir):
+    from mhtml_to_html_spark.operators.similarity import lsh_topk_multiprobe
+
+    return lsh_topk_multiprobe(_load(spark, sf_dir, "embeddings"), 0, 10, dims=8)
+
+
 def q_sim_neardup_lsh(spark, sf_dir):
     from mhtml_to_html_spark.operators.similarity import neardup_pairs_lsh
 
@@ -939,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_neardup": q_sim_neardup,
         "sim_neardup_lsh": q_sim_neardup_lsh,
+        "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
         "mhtml_parts": q_mhtml_parts,
         "mhtml_registry": q_mhtml_registry,
         "mhtml_index": q_mhtml_index,
@@ -1104,6 +1130,7 @@ SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cosine_expr('a.embedding', 'b.embedding')} >= 0.42
 ORDER BY vec_a, vec_b""",
+        "sim_lsh_multiprobe": _sim_lsh_multiprobe_oracle(),
         "sim_neardup_lsh": f"""
 WITH b AS (
   SELECT *,

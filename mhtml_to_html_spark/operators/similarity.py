@@ -159,6 +159,56 @@ def _sign_bucket(vec, dims: int = 4):
     )
 
 
+def _flip_bit(bucket, i: int, dims: int):
+    """bucket string with sign-bit i flipped (multi-probe neighbor)."""
+    return F.concat(
+        F.substring(bucket, 1, i),
+        F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1"),
+        F.substring(bucket, i + 2, dims - i - 1),
+    )
+
+
+def lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    dims: int = 8,
+    probe_distance: int = 1,
+) -> DataFrame:
+    """ANN top-k with more planes + multi-probe (the 10^10 recall
+    shape): ``dims`` sign-planes give 2^dims buckets (so each bucket is
+    a small fraction of the corpus), and the query probes its own
+    bucket plus every bucket at Hamming distance 1 (dims+1 probes) —
+    recall lost to a near-boundary sign flip comes back without
+    scanning the corpus. The candidate join stays an equi-join on the
+    bucket column (partition-prunable at scale); the exact cosine
+    rerank runs only on the probed buckets' rows.
+
+    ``probe_distance`` currently supports 0 (exact bucket) and 1."""
+    bucketed = embeddings.withColumn("bucket", _sign_bucket(F.col("embedding"), dims))
+    query = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probes = [F.col("qbucket")]
+    if probe_distance >= 1:
+        probes += [_flip_bit(F.col("qbucket"), i, dims) for i in range(dims)]
+    probe_rows = query.select(
+        "qvec", F.explode(F.array(*probes)).alias("bucket")
+    )
+    candidates = bucketed.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(probe_rows), "bucket"
+    )
+    return (
+        candidates.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("bucket"),
+            F.round(cosine_similarity_col(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, dims: int = 4) -> DataFrame:
     """IVF/LSH-style ANN: candidates share the query's sign-bucket;
     exact cosine rerank within the bucket. At scale the bucket column

@@ -169,3 +169,27 @@ def test_minhash_skewed_duplicate_cluster(spark):
     )
     pairs = minhash_lsh_pairs(docs, bucket_cap=64, skew_salts=8)
     assert pairs.count() == 1000 * 999 // 2
+
+
+@pytest.mark.spark
+def test_lsh_multiprobe_recall_beats_exact_bucket(spark):
+    """dims=8 multi-probe must recover recall a single 8-bit bucket
+    loses, while still joining on the bucket key (no full scan)."""
+    from mhtml_to_html_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk_multiprobe,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    truth = {r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()}
+    exact_bucket = {
+        r["vec_id"] for r in lsh_topk_multiprobe(emb, 0, 10, dims=8, probe_distance=0).collect()
+    }
+    multiprobe = {
+        r["vec_id"] for r in lsh_topk_multiprobe(emb, 0, 10, dims=8, probe_distance=1).collect()
+    }
+    assert len(multiprobe & truth) >= len(exact_bucket & truth)
+    assert len(multiprobe) >= len(exact_bucket), "probing 9 buckets found fewer rows than 1"
+    assert len(multiprobe & truth) >= 1, "multi-probe recall collapsed"
+    plan = plan_of(lsh_topk_multiprobe(emb, 0, 10, dims=8))
+    assert "CartesianProduct" not in plan
