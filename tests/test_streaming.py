@@ -142,3 +142,150 @@ def test_streaming_split_matches_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in result.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+@pytest.mark.spark
+def test_streaming_frontier_matches_oracle(spark, tmp_path):
+    """Continuous-crawl shape: the applyInPandasWithState politeness
+    gate, fed round-by-round through a file source with the checkpoint
+    carrying per-host state across restarts, reproduces the
+    round-based oracle exactly — per-round fetch order, statuses,
+    attempts, exactly-once seen/failed sets, deferral."""
+    from mhtml_to_html_spark.frontier.fixtures import (
+        children_of,
+        host_rank,
+        seed_urls,
+    )
+    from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+    from mhtml_to_html_spark.streaming.frontier import stream_frontier_fetch
+    from mhtml_to_html_spark.urlnorm import is_fetchable, unwrap_urn
+
+    SEEDS, ROUNDS, BUDGET, FANOUT, NHOSTS = seed_urls(5, 3), 4, 6, 3, 7
+    oracle = crawl_oracle(SEEDS, max_rounds=ROUNDS, host_budget=BUDGET)
+
+    src = tmp_path / "frontier_src"
+    sink = str(tmp_path / "frontier_sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "url string, depth int, disc_seq long"
+
+    def to_sink(df, batch_id):
+        from pyspark.sql import functions as F
+
+        df.withColumn("batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "append"
+        ).parquet(sink)
+
+    disc = 0
+    rows = []
+    for u in SEEDS:
+        if is_fetchable(u):
+            rows.append((unwrap_urn(u), 0, disc))
+            disc += 1
+
+    got_order = []
+    seen_urls, failed_urls = set(), set()
+    for r in range(ROUNDS):
+        if not rows:
+            break
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_frontier_fetch(stream, host_budget=BUDGET)
+            .writeStream.foreachBatch(to_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        all_out = spark.read.parquet(sink)
+        max_bid = all_out.agg({"batch_id": "max"}).collect()[0][0]
+        out = all_out.filter(all_out.batch_id == max_bid).collect()
+        fetched = sorted(
+            (row for row in out if row["status"] != "deferred"),
+            key=lambda row: (row["depth"], host_rank(row["host"]), row["disc_seq"]),
+        )
+        deferred = [row for row in out if row["status"] == "deferred"]
+        for pos, row in enumerate(fetched):
+            got_order.append(
+                {
+                    "round": r,
+                    "pos": pos,
+                    "url": row["key"],
+                    "depth": row["depth"],
+                    "status": row["status"],
+                    "attempts": row["attempts"],
+                }
+            )
+            (seen_urls if row["status"] == "ok" else failed_urls).add(row["key"])
+        # feeder: children of ok fetches in (pos, child_idx) order, then
+        # the deferred rows — exactly the batch round loop's next frontier
+        rows = []
+        # children must follow global pos order for disc_seq continuity
+        for row in fetched:
+            if row["status"] == "ok":
+                for child in children_of(row["key"], FANOUT, NHOSTS):
+                    if is_fetchable(child):
+                        rows.append((child, row["depth"] + 1, disc))
+                        disc += 1
+        rows = [(d["url"], d["depth"], d["disc_seq"]) for d in deferred] + rows
+
+    assert got_order == oracle.order
+    assert seen_urls == oracle.seen
+    assert failed_urls == oracle.failed
+
+
+@pytest.mark.spark
+def test_streaming_frontier_exactly_once_across_restarts(spark, tmp_path):
+    """Regression: per-host seen state round-trips through Spark's
+    SIGNED LongType — hashes >= 2^63 must still dedup after a query
+    restart (full duplicate re-send), and urn:/non-fetchable inputs
+    are unwrapped/filtered like the batch seed gate."""
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.streaming.frontier import stream_frontier_fetch
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "url string, depth int, disc_seq long"
+
+    def to_sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "append"
+        ).parquet(sink)
+
+    def run_wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        q = (
+            stream_frontier_fetch(
+                spark.readStream.schema(schema).parquet(str(src)), host_budget=3
+            )
+            .writeStream.foreachBatch(to_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(sink)
+        bid = out.agg({"batch_id": "max"}).collect()[0][0]
+        return [r.asDict() for r in out.filter(out.batch_id == bid).collect()]
+
+    # 20 URLs so both hash half-spaces (< and >= 2^63) are populated
+    rows = [(f"https://h1.example.com/p{i}", 0, i) for i in range(20)]
+    waves = [run_wave(rows) for _ in range(3)]  # full duplicate re-sends
+    admitted = [r for w in waves for r in w if r["status"] != "deferred"]
+    assert len(admitted) == len({r["key"] for r in admitted}), "a URL was refetched"
+    urn_wave = run_wave(
+        [("urn:x:https://h1.example.com/z", 1, 99), ("mailto:a@b", 1, 100)]
+    )
+    assert [(r["key"], r["status"]) for r in urn_wave] == [
+        ("https://h1.example.com/z", "ok")
+    ]
