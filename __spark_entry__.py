@@ -645,6 +645,86 @@ def q_frontier_crawl(spark, sf_dir):
     )
 
 
+def q_frontier_stream(spark, sf_dir):
+    """The same crawl world through the STREAMING politeness gate
+    (applyInPandasWithState, checkpointed state across query restarts,
+    discovery fed back through the source) — must reproduce the same
+    byte-for-byte ordering oracle as the batch crawl."""
+    import tempfile
+
+    from mhtml_to_html_spark.frontier.fixtures import (
+        children_of,
+        host_rank,
+        seed_urls,
+    )
+    from mhtml_to_html_spark.streaming.frontier import stream_frontier_fetch
+    from mhtml_to_html_spark.urlnorm import is_fetchable, unwrap_urn
+
+    tmp = tempfile.mkdtemp(prefix="frontier_stream_")
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ckpt"
+    schema = "url string, depth int, disc_seq long"
+
+    def to_sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "append"
+        ).parquet(sink)
+
+    disc, rows = 0, []
+    for u in seed_urls(4, 2):
+        if is_fetchable(u):
+            rows.append((unwrap_urn(u), 0, disc))
+            disc += 1
+
+    order = []
+    for r in range(3):
+        if not rows:
+            break
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            stream_frontier_fetch(
+                spark.readStream.schema(schema).parquet(src), host_budget=5
+            )
+            .writeStream.foreachBatch(to_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        all_out = spark.read.parquet(sink)
+        bid = all_out.agg({"batch_id": "max"}).collect()[0][0]
+        out = all_out.filter(all_out.batch_id == bid).collect()
+        fetched = sorted(
+            (row for row in out if row["status"] != "deferred"),
+            key=lambda row: (row["depth"], host_rank(row["host"]), row["disc_seq"]),
+        )
+        for pos, row in enumerate(fetched):
+            order.append(
+                (r, pos, row["key"], row["depth"], row["status"], row["attempts"])
+            )
+        rows = [
+            (row["url"], row["depth"], row["disc_seq"])
+            for row in out
+            if row["status"] == "deferred"
+        ]
+        for row in fetched:
+            if row["status"] == "ok":
+                for child in children_of(row["key"], 3, 7):
+                    if is_fetchable(child):
+                        rows.append((child, row["depth"] + 1, disc))
+                        disc += 1
+    return spark.createDataFrame(
+        order, "round int, pos long, url string, depth int, status string, attempts int"
+    ).selectExpr(
+        "cast(round as bigint) round",
+        "pos",
+        "url",
+        "cast(depth as bigint) depth",
+        "status",
+        "cast(attempts as bigint) attempts",
+    )
+
+
 def q_mhtml_images(spark, sf_dir):
     from mhtml_to_html_spark.operators.images_extract import extract_images
 
@@ -974,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhtml_pages": q_mhtml_pages,
         "image_phash_neardup": q_image_phash_neardup,
         "frontier_crawl": q_frontier_crawl,
+        "frontier_stream": q_frontier_stream,
     }
 
 
@@ -1159,4 +1240,6 @@ ORDER BY vec_a, vec_b""",
         "mhtml_pages": _mhtml_pages_values(),
         "image_phash_neardup": _phash_neardup_values(),
         "frontier_crawl": _frontier_values(),
+        # the streaming gate must reproduce the SAME ordering oracle
+        "frontier_stream": _frontier_values(),
     }

@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None, fetch=None) -> int:
     )
     from mhtml_to_html_spark import __version__
 
-    parser.add_argument("inputs", nargs="+", help="input files or globs")
+    parser.add_argument("inputs", nargs="*", help="input files or globs")
     parser.add_argument("--output", help="output file (single input) or directory")
     parser.add_argument("--enable-scripts", action="store_true")
     parser.add_argument(
@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None, fetch=None) -> int:
     parser.add_argument("--version", action="version", version=__version__)
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
+    if not args.inputs:
+        # the reference prints usage and exits 1 on empty input
+        # (mod.js:20-38) rather than argparse's error+exit 2
+        parser.print_usage(sys.stderr)
+        return 1
 
     from pyspark.sql import SparkSession
 

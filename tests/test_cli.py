@@ -99,3 +99,9 @@ def test_version_flag(capsys):
         main(["--version"])
     assert exc.value.code == 0
     assert __version__ in capsys.readouterr().out
+
+
+def test_empty_input_prints_usage_exit_1(capsys):
+    """mod.js:20-38: empty input → usage + exit 1 (not argparse's 2)."""
+    assert main([]) == 1
+    assert "usage" in capsys.readouterr().err.lower()
