@@ -472,7 +472,17 @@ def _golden_fixtures() -> list[tuple[str, bytes]]:
         f"{base64.b64encode(css).decode('ascii')}"
     )
     g5 = page(head='<link rel="stylesheet" href="s.css">', parts=[sheet_part])
-    return [("g1", g1), ("g2", g2), ("g3", g3), ("g4", g4), ("g5", g5)]
+    g6 = page(
+        body='<a href="https://example.com/#section">a</a><a href="/other">b</a>'
+    )
+    g7 = page(
+        body='<a href="/x" ping="https://tracker.example/p">a</a>'
+        '<p onclick="boom()" onmouseover="boom()">x</p>'
+    )
+    return [
+        ("g1", g1), ("g2", g2), ("g3", g3), ("g4", g4), ("g5", g5),
+        ("g6", g6), ("g7", g7),
+    ]
 
 
 # (case_id, check_name, column expression) — the reference assertion each
@@ -491,6 +501,10 @@ def _golden_checks():
         ("g4", "template_image_inlined", d.contains(f"data:image/png;base64,{_GOLDEN_PNG_B64}")),
         ("g5", "charset_rule_reread", d.contains("p{color:red}")),
         ("g5", "charset_rule_left", d.contains("@charset")),
+        ("g6", "self_link_shortened", d.contains('href="#section"')),
+        ("g6", "other_link_absolute", d.contains('href="https://example.com/other"')),
+        ("g7", "onclick_left", d.contains("onclick")),
+        ("g7", "ping_left", d.contains("ping=")),
     ]
 
 
@@ -509,6 +523,12 @@ _MHTML_GOLDEN_EXPECTED = [
     ("g4", "template_image_inlined", True),
     ("g5", "charset_rule_reread", True),
     ("g5", "charset_rule_left", False),
+    # document.test.js:98-102 (self-link fragment, other links absolute)
+    ("g6", "self_link_shortened", True),
+    ("g6", "other_link_absolute", True),
+    # document.test.js:104-122 (tracking/integrity/event handlers removed)
+    ("g7", "onclick_left", False),
+    ("g7", "ping_left", False),
 ]
 
 
