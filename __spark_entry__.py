@@ -320,6 +320,12 @@ FROM b JOIN p USING (bucket) WHERE vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from mhtml_to_html_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_load(spark, sf_dir, "documents"))
+
+
 def q_sim_lsh_multiprobe(spark, sf_dir):
     from mhtml_to_html_spark.operators.similarity import lsh_topk_multiprobe
 
@@ -801,6 +807,40 @@ FROM bands a JOIN bands b
 ORDER BY doc_a, doc_b"""
 
 
+def _dedup_clusters_oracle() -> str:
+    """Connected components over the same candidate-pair CTE the
+    minhash oracle uses: transitive closure via WITH RECURSIVE, then
+    cluster_id = min(doc itself, everything reachable)."""
+    mh = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(s || '|{i}')), 'min') AS mh{i}"
+        for i in range(12)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sigs"
+        for b in range(6)
+    )
+    return f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+sigs AS (SELECT doc_id, {mh} FROM sh WHERE len(shingles) > 0),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+comp AS (SELECT s AS doc_id, min(t) AS min_reach FROM reach GROUP BY s)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+ORDER BY doc_id"""
+
+
 def _simhash_oracle() -> str:
     sums = ", ".join(
         f"sum(((v // {2**b}) % 2) * 2 - 1) AS s{b}" for b in range(16)
@@ -1054,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_running_window,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_tokens": q_text_tokens,
@@ -1152,6 +1193,7 @@ SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
        count(*) AS dup_count
 FROM documents GROUP BY 1 ORDER BY h""",
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_ngram_jaccard": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),

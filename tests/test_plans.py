@@ -193,3 +193,27 @@ def test_lsh_multiprobe_recall_beats_exact_bucket(spark):
     assert len(multiprobe & truth) >= 1, "multi-probe recall collapsed"
     plan = plan_of(lsh_topk_multiprobe(emb, 0, 10, dims=8))
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_dedup_clusters_transitive(spark):
+    """A→B and B→C candidate links must land A,B,C in ONE cluster even
+    if A and C never share a bucket (transitivity — the property pair
+    lists alone don't give you)."""
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " extra"),           # near-dup of 0
+            (2, base + " extra words too"), # near-dup of 1, maybe not of 0
+            (10, "completely different text about spark shuffles and partitions everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()}
+    assert got[0] == got[1] == got[2] == 0, "transitive closure failed"
+    assert got[10] == 10, "a singleton was merged"
