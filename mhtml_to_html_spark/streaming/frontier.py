@@ -45,14 +45,25 @@ GATE_SCHEMA = (
 _GATE_STATE_SCHEMA = "seen array<long>, fetched_total long"
 
 
-def _politeness_gate(key, pdfs, state, host_budget: int = 8):
+def _politeness_gate(key, pdfs, state, host_budget: int = 8, use_robots: bool = False):
     """Per-host admission: sort the batch's URLs by the crawl priority
     (depth, host_rank, disc_seq), dedup first-discovery-wins against
-    both the batch and the host's all-time seen set, fetch up to
-    ``host_budget``, defer the rest."""
+    both the batch and the host's all-time seen set, fetch up to the
+    host's token budget, defer the rest.
+
+    With ``use_robots`` the host's robots rules are 'fetched' once at
+    first encounter and ride in the state (per-host state is exactly
+    where a robots cache belongs — it is host-keyed data); disallowed
+    URLs emit ``status='blocked'`` once and join the seen set; the
+    crawl-delay level scales the per-micro-batch token refill, the
+    same token-bucket rule as the batch crawl."""
     import pandas as pd
 
-    from ..frontier.fixtures import fetch_with_retries
+    from ..frontier.fixtures import (
+        fetch_with_retries,
+        host_token_budget,
+        robots_allows,
+    )
     from ..frontier.seenset import url_hash64
 
     (host,) = key
@@ -68,6 +79,7 @@ def _politeness_gate(key, pdfs, state, host_budget: int = 8):
         seen = {v & 0xFFFFFFFFFFFFFFFF for v in seen_list}
     else:
         seen, fetched_total = set(), 0
+    budget = host_token_budget(host, host_budget) if use_robots else host_budget
 
     batch = pd.concat(list(pdfs), ignore_index=True)
     # first-discovery-wins dedup (min disc_seq — the batch crawl's
@@ -90,7 +102,11 @@ def _politeness_gate(key, pdfs, state, host_budget: int = 8):
             "depth": int(r.depth),
             "disc_seq": int(r.disc_seq),
         }
-        if admitted < host_budget:
+        if use_robots and not robots_allows(host, r.key):
+            seen.add(h)  # permanently blocked — reported exactly once
+            rows.append({**base, "status": "blocked", "attempts": 0, "delay_ms": 0})
+            continue
+        if admitted < budget:
             status, attempts, delay_ms = fetch_with_retries(r.key)
             seen.add(h)
             admitted += 1
@@ -109,13 +125,15 @@ def _politeness_gate(key, pdfs, state, host_budget: int = 8):
     )
 
 
-def stream_frontier_fetch(urls_stream: DataFrame, host_budget: int = 8) -> DataFrame:
+def stream_frontier_fetch(
+    urls_stream: DataFrame, host_budget: int = 8, use_robots: bool = False
+) -> DataFrame:
     """(url, depth, disc_seq) stream → fetch-result stream.
 
-    Output rows carry ``status`` ∈ {ok, failed, deferred}; deferred
-    rows are the feeder's re-queue contract. Canonicalization runs in
-    the same vectorized UDF as the batch path, so the seen-set KEY is
-    identical between the two crawl shapes."""
+    Output rows carry ``status`` ∈ {ok, failed, deferred, blocked};
+    deferred rows are the feeder's re-queue contract. Canonicalization
+    runs in the same vectorized UDF as the batch path, so the seen-set
+    KEY is identical between the two crawl shapes."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -130,7 +148,7 @@ def stream_frontier_fetch(urls_stream: DataFrame, host_budget: int = 8) -> DataF
         _canonicalize_batches, schema=_CANON_SCHEMA
     )
     return canon.groupBy("host").applyInPandasWithState(
-        functools.partial(_politeness_gate, host_budget=host_budget),
+        functools.partial(_politeness_gate, host_budget=host_budget, use_robots=use_robots),
         outputStructType=GATE_SCHEMA,
         stateStructType=_GATE_STATE_SCHEMA,
         outputMode="append",

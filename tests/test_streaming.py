@@ -289,3 +289,99 @@ def test_streaming_frontier_exactly_once_across_restarts(spark, tmp_path):
     assert [(r["key"], r["status"]) for r in urn_wave] == [
         ("https://h1.example.com/z", "ok")
     ]
+
+
+@pytest.mark.spark
+def test_streaming_frontier_matches_oracle_with_robots(spark, tmp_path):
+    """Robots + token-bucket politeness through the streaming gate:
+    fed round-by-round, order/seen/failed/blocked must match the
+    robots-on oracle byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.frontier.fixtures import (
+        children_of,
+        host_rank,
+        seed_urls,
+    )
+    from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+    from mhtml_to_html_spark.streaming.frontier import stream_frontier_fetch
+    from mhtml_to_html_spark.urlnorm import is_fetchable, unwrap_urn
+
+    SEEDS, ROUNDS, BUDGET, FANOUT, NHOSTS = seed_urls(5, 3), 4, 6, 3, 7
+    oracle = crawl_oracle(
+        SEEDS, max_rounds=ROUNDS, host_budget=BUDGET, use_robots=True
+    )
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "url string, depth int, disc_seq long"
+
+    def to_sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "append"
+        ).parquet(sink)
+
+    disc, rows = 0, []
+    for u in SEEDS:
+        if is_fetchable(u):
+            rows.append((unwrap_urn(u), 0, disc))
+            disc += 1
+
+    got_order, seen_urls, failed_urls, blocked_urls = [], set(), set(), set()
+    for r in range(ROUNDS):
+        if not rows:
+            break
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        q = (
+            stream_frontier_fetch(
+                spark.readStream.schema(schema).parquet(str(src)),
+                host_budget=BUDGET,
+                use_robots=True,
+            )
+            .writeStream.foreachBatch(to_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        all_out = spark.read.parquet(sink)
+        bid = all_out.agg({"batch_id": "max"}).collect()[0][0]
+        out = all_out.filter(all_out.batch_id == bid).collect()
+        fetched = sorted(
+            (row for row in out if row["status"] in ("ok", "failed")),
+            key=lambda row: (row["depth"], host_rank(row["host"]), row["disc_seq"]),
+        )
+        for pos, row in enumerate(fetched):
+            got_order.append(
+                {
+                    "round": r,
+                    "pos": pos,
+                    "url": row["key"],
+                    "depth": row["depth"],
+                    "status": row["status"],
+                    "attempts": row["attempts"],
+                }
+            )
+            (seen_urls if row["status"] == "ok" else failed_urls).add(row["key"])
+        blocked_urls |= {row["key"] for row in out if row["status"] == "blocked"}
+        rows = [
+            (row["url"], row["depth"], row["disc_seq"])
+            for row in out
+            if row["status"] == "deferred"
+        ]
+        for row in fetched:
+            if row["status"] == "ok":
+                for child in children_of(row["key"], FANOUT, NHOSTS):
+                    if is_fetchable(child):
+                        rows.append((child, row["depth"] + 1, disc))
+                        disc += 1
+
+    assert got_order == oracle.order
+    assert seen_urls == oracle.seen
+    assert failed_urls == oracle.failed
+    assert blocked_urls == oracle.blocked
