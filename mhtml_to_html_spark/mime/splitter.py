@@ -62,6 +62,23 @@ _REPLACEMENT = "�"
 # charset-declaration scanners for the cascade (lightweight stand-ins
 # for the reference's DOM walk; the rewrite stage owns element removal)
 _META_TAG_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE | re.DOTALL)
+# regions the reference's DOM-based meta scan never sees
+# (parse.js:423-460 walks the parsed tree): comments (incl. an
+# unclosed trailing one, which a parser swallows to EOF) and
+# script/style raw text
+_META_SCAN_SKIP_RE = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<script\b.*?(?:</script\s*>|$)"
+    r"|<style\b.*?(?:</style\s*>|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _meta_scan_text(text: str) -> str:
+    """Document text with the regions a DOM scan would not surface
+    stripped, so the regex scan agrees with the reference's
+    tree-walking getMetaCharsetElements (parse.js:430,446)."""
+    return _META_SCAN_SKIP_RE.sub(" ", text)
 _ATTR_RE = re.compile(
     r"([a-zA-Z][-a-zA-Z0-9_:.]*)\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))",
     re.DOTALL,
@@ -548,7 +565,9 @@ def _process_stylesheet_charset(
 
 def _scan_meta_charset(text: str) -> str | None:
     """First ``<meta charset=…>`` — the declaration a browser obeys
-    (parse.js:430-434)."""
+    (parse.js:430-434); commented-out / raw-text metas don't count
+    (the reference scans the parsed tree)."""
+    text = _meta_scan_text(text)
     for m in _META_TAG_RE.finditer(text):
         attrs = _meta_attrs(m.group(0))
         charset = attrs.get("charset")
@@ -559,7 +578,8 @@ def _scan_meta_charset(text: str) -> str | None:
 
 def _scan_meta_http_equiv_charset(text: str) -> str | None:
     """First ``<meta http-equiv=content-type content=…>`` charset
-    (parse.js:445-448)."""
+    (parse.js:445-448); same DOM-visibility rule as the charset scan."""
+    text = _meta_scan_text(text)
     for m in _META_TAG_RE.finditer(text):
         attrs = _meta_attrs(m.group(0))
         if attrs.get("http-equiv", "").lower() == "content-type" and attrs.get("content"):

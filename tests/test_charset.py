@@ -207,3 +207,54 @@ def test_meta_charset_rereads_raw_bytes():
     page = resources_of(parse_mhtml(raw))[LOCATION]
     assert HELLO in page.text
     assert page.charset == "windows-1251"
+
+
+CP1251_HELLO = "Привет"
+
+
+def _doc_archive(head_html: str, body_bytes: bytes) -> bytes:
+    header = (
+        'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="----=_M"\r\n\r\n'
+        "------=_M\r\nContent-Type: text/html\r\n"
+        "Content-Transfer-Encoding: 8bit\r\nContent-Location: https://e/m\r\n\r\n"
+    ).encode("latin-1")
+    return (
+        header
+        + f"<html><head>{head_html}</head><body><p>".encode("latin-1")
+        + body_bytes
+        + b"</p></body></html>\r\n------=_M--\r\n"
+    )
+
+
+def test_meta_charset_inside_comment_is_ignored():
+    """The reference scans the parsed DOM (parse.js:423-460): a
+    commented-out declaration must not drive the re-read."""
+    raw = _doc_archive(
+        '<!-- <meta charset="koi8-r"> --><meta charset="windows-1251">',
+        CP1251_HELLO.encode("cp1251"),
+    )
+    result = parse_mhtml(raw)
+    assert CP1251_HELLO in result.parts[0].text
+    assert result.parts[0].charset == "windows-1251"
+
+
+def test_meta_charset_inside_script_is_ignored():
+    raw = _doc_archive(
+        "<script>document.write('<meta charset=\"koi8-r\">')</script>"
+        '<meta charset="windows-1251">',
+        CP1251_HELLO.encode("cp1251"),
+    )
+    result = parse_mhtml(raw)
+    assert CP1251_HELLO in result.parts[0].text
+    assert result.parts[0].charset == "windows-1251"
+
+
+def test_meta_after_unclosed_comment_is_swallowed():
+    """An unclosed comment swallows the rest of the document in a DOM
+    parse — a declaration after it must not count."""
+    raw = _doc_archive(
+        '<!-- broken comment <meta charset="koi8-r">',
+        "ascii only".encode("ascii"),
+    )
+    result = parse_mhtml(raw)
+    assert result.parts[0].charset in (None, "utf-8")
