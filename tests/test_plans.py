@@ -217,3 +217,18 @@ def test_dedup_clusters_transitive(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()}
     assert got[0] == got[1] == got[2] == 0, "transitive closure failed"
     assert got[10] == 10, "a singleton was merged"
+
+
+@pytest.mark.spark
+def test_global_index_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.frontier.indexing import assign_global_index
+
+    empty = spark.createDataFrame([], "depth int, host_rank int, disc_seq long")
+    assert assign_global_index(empty, ["depth", "host_rank", "disc_seq"]).count() == 0
+    one = spark.createDataFrame([(1, 2, 3)], "depth int, host_rank int, disc_seq long")
+    got, n = assign_global_index(
+        one, ["depth", "host_rank", "disc_seq"], start=10, return_count=True
+    )
+    assert n == 1 and got.collect()[0]["pos"] == 10
