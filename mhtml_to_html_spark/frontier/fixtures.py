@@ -66,18 +66,36 @@ def children_of(url: str, fanout: int = 3, n_hosts: int = 7) -> list[str]:
     return out
 
 
-def robots_rules(host: str) -> dict:
-    """Deterministic robots.txt double for a host: an optional
-    disallowed path prefix and a crawl-delay level. The level scales
-    the per-round token budget (token-bucket crawl delay in round
-    units): level 0 → full budget, 1 → half, 3 → quarter."""
+def robots_body(host: str) -> str:
+    """Deterministic robots.txt BODY for a host — the double stands in
+    for the network fetch only; the body goes through the real parser
+    (frontier/robots.py), so the crawl exercises RFC 9309 parsing
+    end-to-end."""
     h = _h(host, "robots|")
     bucket = h % 10
-    disallow = None
+    lines = ["# synthetic robots for " + host, "User-agent: *"]
     if bucket < 2:
-        disallow = f"/d{(h >> 4) % 4 + 1}"  # one depth-prefix is off-limits
+        lines.append(f"Disallow: /d{(h >> 4) % 4 + 1}")  # one depth-prefix off-limits
+    else:
+        lines.append("Disallow:")
     crawl_delay_level = (0, 0, 0, 0, 0, 0, 1, 1, 1, 3)[(h >> 8) % 10]
-    return {"disallow": disallow, "crawl_delay_level": crawl_delay_level}
+    if crawl_delay_level:
+        lines.append(f"Crawl-delay: {crawl_delay_level}")
+    return "\n".join(lines) + "\n"
+
+
+def robots_rules(host: str) -> dict:
+    """Parsed cache row for a host: the deterministic body through
+    :func:`..frontier.robots.parse_robots_txt`, reduced to the cache
+    schema (one disallow prefix + crawl-delay level). The level scales
+    the per-round token budget (token-bucket crawl delay in round
+    units): level 0 → full budget, 1 → half, 3 → quarter."""
+    from .robots import parse_robots_txt
+
+    parsed = parse_robots_txt(robots_body(host))
+    disallow = next((p for allow, p in parsed.rules if not allow), None)
+    level = int(parsed.crawl_delay) if parsed.crawl_delay else 0
+    return {"disallow": disallow, "crawl_delay_level": level}
 
 
 def robots_allows(host: str, key: str) -> bool:
