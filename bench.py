@@ -81,6 +81,28 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+
+    # steady-state protocol: spin up every Python worker + JIT the UDF
+    # serialization path BEFORE timing (worker spinup dominates the
+    # first ~30s of a fresh session and is a constant, not a rate; the
+    # scaling bench warms the same way)
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(int(CPUS) * 8).repartition(int(CPUS) * 4).mapInPandas(
+        _noop, schema="id long"
+    ).count()
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    crawl_spark(
+        spark,
+        [f"https://warm{i}.example.net/w" for i in range(int(CPUS) * 4)],
+        max_rounds=1,
+        host_budget=4,
+        collect_order=False,
+        decode_payload=True,
+    )
     bench_names = [
         "pricing_summary",
         "top_customers",
