@@ -332,6 +332,12 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
     return lsh_topk_multiprobe(_load(spark, sf_dir, "embeddings"), 0, 10, dims=8)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    from mhtml_to_html_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_load(spark, sf_dir, "embeddings"), 0, 10, n_cells=16, n_probe=4)
+
+
 def q_sim_neardup_lsh(spark, sf_dir):
     from mhtml_to_html_spark.operators.similarity import neardup_pairs_lsh
 
@@ -854,6 +860,32 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({sig} AS BIGINT) AS simhash
 FROM sums ORDER BY doc_id"""
 
 
+def _sq_l2_expr(vec_a: str, vec_b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({vec_a}) + 1), "
+        f"i -> (CAST({vec_a}[i] AS DOUBLE) - CAST({vec_b}[i] AS DOUBLE)) * "
+        f"(CAST({vec_a}[i] AS DOUBLE) - CAST({vec_b}[i] AS DOUBLE))))"
+    )
+
+
+def _sim_ivf_oracle(n_cells: int = 16, n_probe: int = 4) -> str:
+    d_assign = _sq_l2_expr("e.embedding", "c.cvec")
+    d_query = _sq_l2_expr("q.qvec", "c.cvec")
+    return f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < {n_cells}),
+assigned AS (
+  SELECT e.vec_id, arg_min(c.cent_id, {d_assign}) AS cell
+  FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id),
+av AS (SELECT a.vec_id, a.cell, e.embedding FROM assigned a JOIN embeddings e USING (vec_id)),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+qc AS (SELECT c.cent_id AS cell, q.qvec FROM cents c CROSS JOIN q
+       ORDER BY {d_query}, c.cent_id LIMIT {n_probe})
+SELECT CAST(av.vec_id AS BIGINT) AS vec_id, CAST(av.cell AS BIGINT) AS cell,
+       {_cosine_expr('av.embedding', 'qc.qvec')} AS cosine
+FROM av JOIN qc USING (cell) WHERE av.vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
 def _cosine_expr(vec_a: str, vec_b: str) -> str:
     dot = f"list_sum(list_transform(range(1, len({vec_a}) + 1), i -> CAST({vec_a}[i] AS DOUBLE) * CAST({vec_b}[i] AS DOUBLE)))"
     na = f"sqrt(list_sum(list_transform(range(1, len({vec_a}) + 1), i -> CAST({vec_a}[i] AS DOUBLE) * CAST({vec_a}[i] AS DOUBLE))))"
@@ -1106,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup": q_sim_neardup,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "mhtml_parts": q_mhtml_parts,
         "mhtml_registry": q_mhtml_registry,
         "mhtml_index": q_mhtml_index,
@@ -1274,6 +1307,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cosine_expr('a.embedding', 'b.embedding')} >= 0.42
 ORDER BY vec_a, vec_b""",
         "sim_lsh_multiprobe": _sim_lsh_multiprobe_oracle(),
+        "sim_ivf_topk": _sim_ivf_oracle(),
         "sim_neardup_lsh": f"""
 WITH b AS (
   SELECT *,

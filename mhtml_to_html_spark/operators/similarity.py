@@ -152,6 +152,72 @@ def phash_neardup(images: DataFrame, max_distance: int = 6) -> DataFrame:
     )
 
 
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid cell, probe only the query's ``n_probe`` nearest cells,
+    exact cosine rerank inside them. At scale the cell is a partition
+    key, so the scan prunes to n_probe/n_cells of the corpus.
+
+    Centroids are the first ``n_cells`` vectors by vec_id — a seeded
+    sample standing in for a k-means train step (which would be an
+    offline job at 10^10 rows anyway); the IVF plumbing (assignment,
+    probe-subset pruning, rerank) is the real shape and is what the
+    plan gates check. Assignment is a broadcast join of the tiny
+    centroid table + min_by, never a shuffle of the corpus."""
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = (
+        embeddings.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cent_id"), _sq_l2(F.col("embedding"), F.col("cvec"))
+            ).alias("cell"),
+            F.min_by(
+                F.struct("embedding"), _sq_l2(F.col("embedding"), F.col("cvec"))
+            ).alias("e"),
+        )
+        .select("vec_id", "cell", F.col("e.embedding").alias("embedding"))
+    )
+    qcells = (
+        assigned.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qvec"))
+        .join(F.broadcast(cents))
+        .withColumn("qdist", _sq_l2(F.col("qvec"), F.col("cvec")))
+        .orderBy("qdist", "cent_id")
+        .limit(n_probe)
+        .select(F.col("cent_id").alias("cell"), "qvec")
+    )
+    candidates = assigned.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(qcells), "cell"
+    )
+    return (
+        candidates.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.round(cosine_similarity_col(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def _sign_bucket(vec, dims: int = 4):
     """Deterministic LSH bucket: concatenated signs of the leading dims."""
     return F.concat_ws(

@@ -232,3 +232,24 @@ def test_global_index_edge_cases(spark):
         one, ["depth", "host_rank", "disc_seq"], start=10, return_count=True
     )
     assert n == 1 and got.collect()[0]["pos"] == 10
+
+
+@pytest.mark.spark
+def test_ivf_topk_probes_subset_and_broadcasts_centroids(spark):
+    """IVF: centroid assignment must broadcast the tiny centroid table
+    (never shuffle the corpus against it) and the candidate scan joins
+    on the cell key."""
+    from mhtml_to_html_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = ivf_topk(emb, 0, 10, n_cells=16, n_probe=4)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert len({r["cell"] for r in rows}) <= 4, "probed more cells than n_probe"
+    # probing all cells must recover brute force exactly
+    full = ivf_topk(emb, 0, 10, n_cells=16, n_probe=16)
+    truth = cosine_topk(emb, 0, 10)
+    assert [r["vec_id"] for r in full.collect()] == [r["vec_id"] for r in truth.collect()]
