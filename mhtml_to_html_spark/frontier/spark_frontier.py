@@ -503,8 +503,17 @@ def crawl_spark(
         budgeted = budgeted.withColumn("token_budget", budget_col)
         budgeted = budgeted.localCheckpoint(eager=True)
         _t1 = _time.perf_counter()
-        if budgeted.limit(1).count() == 0:
+        # one agg answers both "is the frontier drained?" and the
+        # deferred count (two separate driver jobs otherwise)
+        bcounts = budgeted.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("host_pos") <= F.col("token_budget")).cast("long")
+            ).alias("fetchable"),
+        ).collect()[0]
+        if int(bcounts["n"] or 0) == 0:
             break
+        n_deferred = int(bcounts["n"]) - int(bcounts["fetchable"] or 0)
         fetch_now = budgeted.filter(F.col("host_pos") <= F.col("token_budget"))
         deferred = budgeted.filter(F.col("host_pos") > F.col("token_budget")).select(
             "url", "depth", "disc_seq"
@@ -614,7 +623,6 @@ def crawl_spark(
         )
         order_acc = order_acc.unionByName(round_order)
 
-        n_deferred = budgeted.filter(F.col("host_pos") > F.col("token_budget")).count()
         if n_discovered is None:
             n_discovered = discovered.count()
         disc_total += n_discovered
