@@ -1,16 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes, the
-mapInPandas signatures a 100 TB media pipeline needs; the codec calls
-are the only seam:
+mapInPandas signatures a 100 TB media pipeline needs — and so are the
+codecs for the self-contained formats:
 
 - images decode for real (PPM/BMP/raw via images/synth.py);
-- audio/video decoding needs libs this container does not ship
-  (ffmpeg/soundfile), so those paths are STUBBED with a clearly marked
+- audio decodes for real when the payload is RIFF/PCM16 WAV
+  (media/codecs.py, numpy-only);
+- video decodes for real when the payload is YUV4MPEG2 C444
+  (media/codecs.py — ffmpeg's own uncompressed interchange format);
+- compressed containers (mp3/aac/mp4/h264...) need ffmpeg, which this
+  container does not ship: those payloads keep the clearly marked
   deterministic fake keyed on the content hash (or raise
-  NotImplementedError when ``strict=True``) — swap ``_decode_audio`` /
-  ``_decode_video_frames`` for the real codecs and nothing else
-  changes.
+  NotImplementedError when ``strict=True``) — the seam is the format
+  sniff, nothing else changes when real codecs appear.
 
 Media table schema: (media_id string, kind string, bytes binary,
 meta map<string,string>).
@@ -34,10 +37,18 @@ FRAMES_SCHEMA = "media_id string, frame_idx int, ts_ms long, bytes binary, width
 
 
 def _decode_audio(data: bytes, strict: bool):
-    """STUB: no audio codec in this container. Deterministic fake:
-    pseudo-samples from the content hash (stable shape: 1s @ 8kHz)."""
+    """Real decode for RIFF/PCM16 WAV (media/codecs.py); compressed
+    formats (no ffmpeg in the container) keep the deterministic-fake
+    stub, or raise under ``strict=True``."""
+    if data[:4] == b"RIFF":
+        from ..media.codecs import decode_wav
+
+        samples, rate = decode_wav(data)
+        if samples.ndim > 1:
+            samples = samples.mean(axis=1).astype(samples.dtype)
+        return samples, rate
     if strict:
-        raise NotImplementedError("audio decode requires soundfile/ffmpeg (not in container)")
+        raise NotImplementedError("non-WAV audio requires soundfile/ffmpeg (not in container)")
     import numpy as np
 
     seed = int.from_bytes(hashlib.md5(data).digest()[:4], "big")
@@ -46,12 +57,23 @@ def _decode_audio(data: bytes, strict: bool):
 
 
 def _decode_video_frames(data: bytes, n_frames: int, strict: bool):
-    """STUB: no video codec in this container. Deterministic fake
-    frames (16x16 RGB) keyed on (content hash, frame index)."""
-    if strict:
-        raise NotImplementedError("video decode requires ffmpeg (not in container)")
+    """Real decode for YUV4MPEG2 C444 (media/codecs.py) with evenly
+    spaced frame sampling; compressed containers (no ffmpeg) keep the
+    deterministic-fake stub, or raise under ``strict=True``."""
     import numpy as np
 
+    if data[:9] == b"YUV4MPEG2":
+        from ..media.codecs import decode_y4m
+
+        frames, fps = decode_y4m(data)
+        frame_ms = 1000 // fps
+        n = min(n_frames, len(frames))
+        picks = [(i * len(frames)) // n for i in range(n)]
+        for out_idx, src_idx in enumerate(picks):
+            yield out_idx, src_idx * frame_ms, frames[src_idx]
+        return
+    if strict:
+        raise NotImplementedError("non-Y4M video requires ffmpeg (not in container)")
     seed = int.from_bytes(hashlib.md5(data).digest()[:4], "big")
     for i in range(n_frames):
         rng = np.random.default_rng(seed + i)
@@ -95,12 +117,15 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 elif kind == "audio":
                     samples, rate = _decode_audio(data, strict)
                     duration = int(len(samples) / rate * 1000)
-                    luma = np.abs(samples).reshape(16, -1).mean(axis=1, keepdims=True)
+                    # _grid16 buckets the envelope; no divisibility
+                    # assumption on the sample count (real WAVs have
+                    # arbitrary lengths)
+                    luma = np.abs(samples).astype(np.float64)
                 elif kind == "video":
                     frames = list(_decode_video_frames(data, 1, strict))
                     _, _, first = frames[0]
                     height, width, channels = first.shape
-                    duration = 1000
+                    duration = _video_duration_ms(data) or 1000
                     luma = first.astype(np.float64).mean(axis=2)
                 else:
                     continue
@@ -129,6 +154,15 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             rows = []
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def _video_duration_ms(data: bytes) -> int | None:
+    if data[:9] == b"YUV4MPEG2":
+        from ..media.codecs import decode_y4m
+
+        frames, fps = decode_y4m(data)
+        return int(len(frames) * 1000 / fps)
+    return None
 
 
 def _grid16(luma):
