@@ -677,6 +677,96 @@ def q_frontier_crawl(spark, sf_dir):
     )
 
 
+def _media_corpus_rows():
+    """Deterministic multimodal corpus: real WAV + Y4M + image bytes."""
+    from mhtml_to_html_spark.images.synth import encode_image, synth_image
+    from mhtml_to_html_spark.media import encode_wav, encode_y4m, synth_audio, synth_video
+
+    rows = []
+    for i in range(4):
+        rows.append((f"aud_{i}", "audio", encode_wav(synth_audio(i, seconds=0.3 + i / 10), 8000)))
+        rows.append((f"vid_{i}", "video", encode_y4m(synth_video(i, n_frames=3 + i), fps=25)))
+        rows.append((f"img_{i}", "image", encode_image(synth_image(i, 20 + i, 12 + i), "bmp")))
+    return rows
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction over REAL payloads (WAV, Y4M,
+    BMP) — strict mode, so any stub fallback fails the query; the
+    oracle is a pure-Python single-process replay of the same codecs."""
+    from mhtml_to_html_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(mid, kind, bytearray(data)) for mid, kind, data in _media_corpus_rows()],
+        "media_id string, kind string, bytes binary",
+    )
+    return (
+        extract_features(media, strict=True)
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "sha256",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            F.round("mean_luma", 4).alias("mean_luma"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _media_features_values() -> str:
+    import hashlib as _hl
+
+    import numpy as np
+
+    from mhtml_to_html_spark.media import decode_wav, decode_y4m
+    from mhtml_to_html_spark.operators.multimodal import _decode_image
+
+    rows = []
+    for mid, kind, data in _media_corpus_rows():
+        width = height = duration = None
+        if kind == "image":
+            px = _decode_image(data)
+            height, width = px.shape[:2]
+            luma = px.astype(np.float64).mean(axis=2)
+        elif kind == "audio":
+            samples, rate = decode_wav(data)
+            duration = int(len(samples) / rate * 1000)
+            luma = np.abs(samples).astype(np.float64)
+        else:
+            frames, fps = decode_y4m(data)
+            height, width = frames[0].shape[:2]
+            duration = int(len(frames) * 1000 / fps)
+            luma = frames[0].astype(np.float64).mean(axis=2)
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": kind,
+                "n_bytes": len(data),
+                "sha256": _hl.sha256(data).hexdigest(),
+                "width": width,
+                "height": height,
+                "duration_ms": duration,
+                "mean_luma": round(float(np.mean(luma)), 4),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "kind": "VARCHAR",
+            "n_bytes": "BIGINT",
+            "sha256": "VARCHAR",
+            "width": "BIGINT",
+            "height": "BIGINT",
+            "duration_ms": "BIGINT",
+            "mean_luma": "DOUBLE",
+        },
+    ) + " ORDER BY media_id"
+
+
 def q_frontier_stream(spark, sf_dir):
     """The same crawl world through the STREAMING politeness gate
     (applyInPandasWithState, checkpointed state across query restarts,
@@ -1149,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "frontier_crawl": q_frontier_crawl,
         "frontier_stream": q_frontier_stream,
+        "media_features": q_media_features,
     }
 
 
@@ -1338,4 +1429,5 @@ ORDER BY vec_a, vec_b""",
         "frontier_crawl": _frontier_values(),
         # the streaming gate must reproduce the SAME ordering oracle
         "frontier_stream": _frontier_values(),
+        "media_features": _media_features_values(),
     }
