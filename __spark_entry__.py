@@ -690,6 +690,40 @@ def _media_corpus_rows():
     return rows
 
 
+def q_stream_windowed(spark, sf_dir):
+    """Watermarked tumbling-window aggregation run as an actual
+    streaming query (file source, AvailableNow); the oracle is plain
+    GROUP-BY-time-bucket SQL — fully independent."""
+    import tempfile
+    import uuid
+
+    from mhtml_to_html_spark.streaming import stream_events_windowed
+
+    events = _load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_win_")
+    events.write.mode("overwrite").parquet(src)
+    name = "swin_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_events_windowed(spark.readStream.schema(events.schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal feature extraction over REAL payloads (WAV, Y4M,
     BMP) — strict mode, so any stub fallback fails the query; the
@@ -1240,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_crawl": q_frontier_crawl,
         "frontier_stream": q_frontier_stream,
         "media_features": q_media_features,
+        "stream_windowed": q_stream_windowed,
     }
 
 
@@ -1430,4 +1465,10 @@ ORDER BY vec_a, vec_b""",
         # the streaming gate must reproduce the SAME ordering oracle
         "frontier_stream": _frontier_values(),
         "media_features": _media_features_values(),
+        "stream_windowed": """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     }
