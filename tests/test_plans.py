@@ -287,3 +287,19 @@ def test_bucketed_join_has_no_exchange(spark):
         assert n == lineitem.count(), "bucketed join lost rows"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.mark.spark
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on the partition column must prune at the FILE level
+    (PartitionFilters), not post-scan — the difference between reading
+    1/5th and all of 100 TB."""
+    src = str(tmp_path / "docs_by_lang")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(src)
+    scan = spark.read.parquet(src).filter("lang = 'en'").select("doc_id")
+    plan = plan_of(scan)
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "lang" in pf_line, "partition filter did not prune the scan"
+    n_en = docs.filter("lang = 'en'").count()
+    assert scan.count() == n_en
