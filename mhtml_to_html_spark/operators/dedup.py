@@ -121,21 +121,32 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
-    # bucket sizes via a count window: its hash partitioning on
-    # (band_idx, band_key) is exactly what the small-bucket groupBy and
-    # both sides of the hot-bucket join need, so the band exchange
-    # happens ONCE (measured 2x faster than a sizes-agg + join shape)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_idx", "band_key")
-    tagged = bands.withColumn("n", F.count("*").over(w)).filter(F.col("n") > 1)
+    # the signature pipeline (shingle explode + k mins) dominates the
+    # cost; checkpoint the slim (doc_id, band_idx, band_key) rows once
+    # so the hot-key count, both routing joins, and pair generation
+    # reuse ONE computation — without this the plan replays the whole
+    # pipeline per consumer (observed: 4 parquet scans)
+    bands = bands.localCheckpoint(eager=True)
+    # hot-bucket DETECTION is a count groupBy (map-side partial agg:
+    # only (key, count) rows reach the shuffle, unlike a count window
+    # which moves + sorts every band row), and the hot keys — rare by
+    # construction, a bucket over ``bucket_cap`` means mass duplication
+    # — are broadcast so routing rows to the small/big path is a
+    # map-only stage on top of the one real band exchange
+    hot_keys = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band_idx", "band_key")
+    )
 
     # small buckets: one partial-aggregating groupBy, combinations
     # inside the (bounded) array
     small_buckets = (
-        tagged.filter(F.col("n") <= bucket_cap)
+        bands.join(F.broadcast(hot_keys), ["band_idx", "band_key"], "left_anti")
         .groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
     small_pairs = small_buckets.select(
         F.explode(
@@ -150,7 +161,9 @@ def minhash_lsh_pairs(
 
     # hot buckets: salted self-join — each pair meets exactly once, in
     # doc_a's salt group
-    big = tagged.filter(F.col("n") > bucket_cap).select("band_idx", "band_key", "doc_id")
+    big = bands.join(F.broadcast(hot_keys), ["band_idx", "band_key"], "left_semi").select(
+        "band_idx", "band_key", "doc_id"
+    )
     big_a = big.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(skew_salts)).cast("int"))
     big_b = big.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(skew_salts - 1)))
