@@ -283,6 +283,36 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_pipe_hash_split(spark, sf_dir):
+    from mhtml_to_html_spark.operators.pipeline import hash_split
+
+    return hash_split(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_pipe_stratified_sample(spark, sf_dir):
+    from mhtml_to_html_spark.operators.pipeline import stratified_sample
+
+    return stratified_sample(_load(spark, sf_dir, "documents"), 20, "lang").orderBy("lang", "rk")
+
+
+def q_pipe_tfidf_top_terms(spark, sf_dir):
+    from mhtml_to_html_spark.operators.pipeline import tfidf_top_terms
+
+    return tfidf_top_terms(_load(spark, sf_dir, "documents"), 5).orderBy("doc_id", "rk")
+
+
+def q_pipe_pack_sequences(spark, sf_dir):
+    from mhtml_to_html_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(_load(spark, sf_dir, "documents"), 256).orderBy("doc_id")
+
+
+def q_pipe_contamination(spark, sf_dir):
+    from mhtml_to_html_spark.operators.pipeline import contamination
+
+    return contamination(_load(spark, sf_dir, "documents"), 97).orderBy("doc_id")
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     from mhtml_to_html_spark.operators.similarity import cosine_topk
 
@@ -917,6 +947,22 @@ _LANG_STOP = {
 }
 
 
+def _hash_split_oracle() -> str:
+    """CASE chain generated from the SAME split_bounds the Spark
+    operator uses, so the two can never drift."""
+    from mhtml_to_html_spark.operators.pipeline import DEFAULT_SPLITS, split_bounds
+
+    h4 = "substr(md5('split:' || doc_id), 1, 4)"
+    whens = "\n            ".join(
+        f"WHEN {h4} < '{bound}' THEN '{name}'" for name, bound in split_bounds()
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE {whens}
+            ELSE '{DEFAULT_SPLITS[-1][0]}' END AS split
+FROM documents ORDER BY doc_id"""
+
+
 def _minhash_oracle() -> str:
     mh = ", ".join(
         f"list_aggregate(list_transform(shingles, s -> md5(s || '|{i}')), 'min') AS mh{i}"
@@ -1257,6 +1303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "pipe_hash_split": q_pipe_hash_split,
+        "pipe_stratified_sample": q_pipe_stratified_sample,
+        "pipe_tfidf_top_terms": q_pipe_tfidf_top_terms,
+        "pipe_pack_sequences": q_pipe_pack_sequences,
+        "pipe_contamination": q_pipe_contamination,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_neardup": q_sim_neardup,
@@ -1409,6 +1460,53 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
        CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
 FROM documents ORDER BY doc_id""",
+        "pipe_hash_split": _hash_split_oracle(),
+        "pipe_stratified_sample": """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5('sample:' || doc_id), doc_id) AS rk
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 20 ORDER BY lang, rk""",
+        "pipe_tfidf_top_terms": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""",
+        "pipe_pack_sequences": f"""
+WITH sized AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM sized)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cb / 256) AS BIGINT) AS bin_id
+FROM cum ORDER BY doc_id""",
+        "pipe_contamination": f"""
+WITH toksw AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toksw),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+hit AS (SELECT doc_id, count(*) AS n_contaminated FROM tr
+        WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id ORDER BY doc_id""",
         "sim_cosine_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT CAST(vec_id AS BIGINT) AS vec_id, {_cosine_expr('embedding', 'qv')} AS cosine

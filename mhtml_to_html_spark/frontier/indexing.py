@@ -84,3 +84,61 @@ def assign_global_index(
     if return_count:
         return out, acc - int(start)
     return out
+
+
+def assign_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = the EXCLUSIVE prefix sum of ``weight_col``
+    under the total order ``order_cols`` (sum of all strictly-preceding
+    rows' weights), with the same two-pass distributed shape as
+    :func:`assign_global_index` — a partitionless
+    ``Window.orderBy().rowsBetween(unboundedPreceding, -1)`` computes
+    the identical column through ONE task; this never does.
+    ``order_cols`` must be tie-free; weights must be integral."""
+    spark = df.sparkSession
+    n = num_partitions or max(spark.sparkContext.defaultParallelism, 4)
+    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+
+    out_schema = StructType(
+        parted.schema.fields
+        + [StructField("_pid", IntegerType()), StructField("_pcum", LongType())]
+    )
+
+    def _local_prefix_batches(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            w = pdf[weight_col].astype("int64")
+            pdf["_pid"] = pd.Series([pid] * len(pdf), dtype="int32")
+            pdf["_pcum"] = (w.cumsum() - w + acc).astype("int64")
+            acc += int(w.sum())
+            yield pdf
+
+    # localCheckpoint pins the sampled range boundaries (see
+    # assign_global_index) so the totals job and the projection agree
+    indexed = parted.mapInPandas(_local_prefix_batches, schema=out_schema).localCheckpoint(
+        eager=True
+    )
+    sums = sorted(
+        (r["_pid"], int(r["s"] or 0))
+        for r in indexed.groupBy("_pid").agg(F.sum(weight_col).alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += s
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        indexed.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_pcum") + F.col("_off")).cast("long"))
+        .drop("_pid", "_pcum", "_off")
+    )

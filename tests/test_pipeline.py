@@ -1,0 +1,154 @@
+"""Training-data pipeline assembly operators (operators/pipeline.py):
+hash split, stratified sampling, TF-IDF, sequence packing,
+decontamination — semantics plus the plan shapes that survive scale."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.mark.spark
+def test_hash_split_partitions_corpus(spark):
+    from mhtml_to_html_spark.operators.pipeline import hash_split
+
+    docs = _docs(spark)
+    n_docs = docs.count()
+    split = hash_split(docs)
+    rows = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert len(rows) == n_docs  # full coverage, one split per doc
+    counts = {}
+    for s in rows.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    # 80/10/10 within a loose tolerance at n=50
+    assert counts["train"] / n_docs > 0.6
+    # assignment is a pure function of the key: repartitioning the
+    # input must not move any document
+    again = {
+        r["doc_id"]: r["split"] for r in hash_split(docs.repartition(7)).collect()
+    }
+    assert again == rows
+
+
+@pytest.mark.spark
+def test_hash_split_custom_weights(spark):
+    from mhtml_to_html_spark.operators.pipeline import hash_split
+
+    split = hash_split(_docs(spark), splits=(("a", 0.5), ("b", 0.5)))
+    got = {r["split"] for r in split.collect()}
+    assert got <= {"a", "b"} and len(got) == 2
+
+
+@pytest.mark.spark
+def test_stratified_sample_quota_and_determinism(spark):
+    from mhtml_to_html_spark.operators.pipeline import stratified_sample
+
+    docs = _docs(spark)
+    group_sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    sample = stratified_sample(docs, n_per_group=5)
+    rows = sample.collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["lang"], []).append((r["rk"], r["doc_id"]))
+    for lang, members in per_group.items():
+        assert len(members) == min(5, group_sizes[lang])
+        assert sorted(rk for rk, _ in members) == list(range(1, len(members) + 1))
+    # same seed -> same sample
+    assert sorted((r["lang"], r["rk"], r["doc_id"]) for r in rows) == sorted(
+        (r["lang"], r["rk"], r["doc_id"]) for r in stratified_sample(docs, n_per_group=5).collect()
+    )
+    # different seed -> (overwhelmingly) different selection order
+    other = stratified_sample(docs, n_per_group=5, seed="other")
+    assert {r["doc_id"] for r in rows} != {r["doc_id"] for r in other.collect()}
+
+
+@pytest.mark.spark
+def test_tfidf_rare_terms_outrank_common(spark):
+    from pyspark.sql import Row
+
+    from mhtml_to_html_spark.operators.pipeline import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common rareword"),
+            Row(doc_id=2, text="common common"),
+            Row(doc_id=3, text="common filler"),
+        ]
+    )
+    top = tfidf_top_terms(docs, top_k=2)
+    d1 = {r["rk"]: r for r in top.filter("doc_id = 1").collect()}
+    # 'rareword' (df=1) must outrank 'common' (df=3, higher tf) in doc 1
+    assert d1[1]["term"] == "rareword"
+    assert d1[1]["df"] == 1 and d1[2]["term"] == "common" and d1[2]["df"] == 3
+
+
+@pytest.mark.spark
+def test_pack_sequences_matches_sequential_packing(spark):
+    from mhtml_to_html_spark.operators.pipeline import pack_sequences
+    from mhtml_to_html_spark.operators.text import tokens_col
+
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark)
+    budget = 64
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"]) for r in pack_sequences(docs, budget).collect()}
+    # sequential oracle: exclusive prefix sum in doc_id order
+    sizes = sorted(
+        (r["doc_id"], r["n"])
+        for r in docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.size(tokens_col()).alias("n")).collect()
+    )
+    acc = 0
+    for doc_id, n in sizes:
+        assert got[doc_id] == (n, acc // budget), doc_id
+        acc += n
+    # bins are contiguous and monotone in doc_id order
+    bins = [got[d][1] for d, _ in sizes]
+    assert bins == sorted(bins)
+
+
+@pytest.mark.spark
+def test_contamination_flags_copied_eval_doc(spark):
+    from pyspark.sql import Row
+
+    from mhtml_to_html_spark.operators.pipeline import contamination
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=eval_text),  # eval doc (0 % 7 == 0)
+            Row(doc_id=1, text=eval_text),  # full copy -> contamination 1.0
+            Row(doc_id=2, text="one two three four five six"),  # disjoint -> 0.0
+            Row(doc_id=3, text="alpha beta gamma nine ten eleven twelve"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in contamination(docs, eval_mod=7).collect()}
+    assert set(got) == {1, 2, 3}  # eval docs excluded
+    assert got[1]["contamination"] == 1.0
+    assert got[2]["contamination"] == 0.0
+    assert 0.0 < got[3]["contamination"] < 1.0
+
+
+@pytest.mark.spark
+def test_pack_sequences_no_single_partition_exchange(spark):
+    from mhtml_to_html_spark.operators.pipeline import pack_sequences
+
+    from test_plans import plan_of
+
+    plan = plan_of(pack_sequences(_docs(spark), 256))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan  # the prefix sum must not be a global window
+
+
+@pytest.mark.spark
+def test_contamination_broadcasts_eval_universe(spark):
+    from mhtml_to_html_spark.operators.pipeline import contamination
+
+    from test_plans import plan_of
+
+    plan = plan_of(contamination(_docs(spark)))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin LeftSemi" not in plan
