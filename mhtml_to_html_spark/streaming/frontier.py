@@ -45,20 +45,30 @@ GATE_SCHEMA = (
 _GATE_STATE_SCHEMA = "seen array<long>, fetched_total long"
 
 
-def _politeness_gate(key, pdfs, state, host_budget: int = 8, use_robots: bool = False):
-    """Per-host admission: sort the batch's URLs by the crawl priority
-    (depth, host_rank, disc_seq), dedup first-discovery-wins against
-    both the batch and the host's all-time seen set, fetch up to the
-    host's token budget, defer the rest.
+def _decode_seen(seen_list) -> set:
+    """State stores signed int64 (Spark LongType); probe unsigned —
+    without this mask, every hash >= 2^63 is refetched after a restart
+    (caught by live-driving the gate, not by the oracle test whose
+    fixture hashes happened to collide low)."""
+    return {v & 0xFFFFFFFFFFFFFFFF for v in seen_list}
 
-    With ``use_robots`` the host's robots rules are 'fetched' once at
-    first encounter and ride in the state (per-host state is exactly
-    where a robots cache belongs — it is host-keyed data); disallowed
-    URLs emit ``status='blocked'`` once and join the seen set; the
-    crawl-delay level scales the per-micro-batch token refill, the
-    same token-bucket rule as the batch crawl."""
-    import pandas as pd
 
+def _encode_seen(seen: set) -> list:
+    return sorted(v - (1 << 64) if v >= 1 << 63 else v for v in seen)
+
+
+def _admit_host_batch(host: str, batch, seen: set, host_budget: int, use_robots: bool):
+    """The per-host admission kernel, shared by BOTH stateful-operator
+    shapes (applyInPandasWithState and transformWithStateInPandas):
+    sort the micro-batch by the crawl priority (depth, host_rank,
+    disc_seq), dedup first-discovery-wins against the batch and the
+    host's all-time seen set (mutated in place), fetch up to the
+    host's token budget, defer the rest. Returns (rows, admitted).
+
+    With ``use_robots`` the host's robots rules gate admission:
+    disallowed URLs emit ``status='blocked'`` once and join the seen
+    set; the crawl-delay level scales the per-micro-batch token
+    refill, the same token-bucket rule as the batch crawl."""
     from ..frontier.fixtures import (
         fetch_with_retries,
         host_token_budget,
@@ -66,22 +76,7 @@ def _politeness_gate(key, pdfs, state, host_budget: int = 8, use_robots: bool = 
     )
     from ..frontier.seenset import url_hash64
 
-    (host,) = key
-    if getattr(state, "hasTimedOut", False):
-        state.remove()
-        return
-    if state.exists:
-        seen_list, fetched_total = state.get
-        # state stores signed int64 (Spark LongType); probe unsigned —
-        # without this mask, every hash >= 2^63 is refetched after a
-        # restart (caught by live-driving the gate, not by the oracle
-        # test whose fixture hashes happened to collide low)
-        seen = {v & 0xFFFFFFFFFFFFFFFF for v in seen_list}
-    else:
-        seen, fetched_total = set(), 0
     budget = host_token_budget(host, host_budget) if use_robots else host_budget
-
-    batch = pd.concat(list(pdfs), ignore_index=True)
     # first-discovery-wins dedup (min disc_seq — the batch crawl's
     # min_by semantics), then the crawl priority order
     batch = (
@@ -113,16 +108,33 @@ def _politeness_gate(key, pdfs, state, host_budget: int = 8, use_robots: bool = 
             rows.append({**base, "status": status, "attempts": attempts, "delay_ms": delay_ms})
         else:
             rows.append({**base, "status": "deferred", "attempts": 0, "delay_ms": 0})
-    state.update(
-        (
-            sorted(v - (1 << 64) if v >= 1 << 63 else v for v in seen),
-            fetched_total + admitted,
-        )
-    )
-    yield pd.DataFrame(
-        rows,
-        columns=["key", "url", "host", "depth", "disc_seq", "status", "attempts", "delay_ms"],
-    )
+    return rows, admitted
+
+
+_GATE_COLUMNS = ["key", "url", "host", "depth", "disc_seq", "status", "attempts", "delay_ms"]
+
+
+def _politeness_gate(key, pdfs, state, host_budget: int = 8, use_robots: bool = False):
+    """applyInPandasWithState wrapper around :func:`_admit_host_batch`:
+    the host's exact seen-hash set + admission counters ride in the
+    GroupState (per-host state is exactly where a robots cache and a
+    seen set belong — they are host-keyed data)."""
+    import pandas as pd
+
+    (host,) = key
+    if getattr(state, "hasTimedOut", False):
+        state.remove()
+        return
+    if state.exists:
+        seen_list, fetched_total = state.get
+        seen = _decode_seen(seen_list)
+    else:
+        seen, fetched_total = set(), 0
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    rows, admitted = _admit_host_batch(host, batch, seen, host_budget, use_robots)
+    state.update((_encode_seen(seen), fetched_total + admitted))
+    yield pd.DataFrame(rows, columns=_GATE_COLUMNS)
 
 
 def stream_frontier_fetch(
@@ -153,4 +165,76 @@ def stream_frontier_fetch(
         stateStructType=_GATE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class FrontierGateProcessor:
+    """transformWithStateInPandas twin of the politeness gate — the
+    Spark 4 successor API for custom stateful streaming operators
+    (typed state variables + timers instead of one opaque state tuple).
+    Output is byte-identical to :func:`stream_frontier_fetch`'s
+    applyInPandasWithState shape: both call :func:`_admit_host_batch`.
+
+    State layout: one ValueState per host holding (seen array<long>,
+    fetched_total long) — the same struct the GroupState carries, so a
+    checkpoint migration between the two operators is a plain state
+    rewrite. Requires the RocksDB state store provider (TWS contract)."""
+
+    def init(self, handle):
+        self._gate = handle.getValueState("gate", _GATE_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (host,) = key
+        if self._gate.exists():
+            seen_list, fetched_total = self._gate.get()
+            seen = _decode_seen(seen_list)
+        else:
+            seen, fetched_total = set(), 0
+        batch = pd.concat(list(rows), ignore_index=True)
+        out, admitted = _admit_host_batch(
+            host, batch, seen, self._host_budget, self._use_robots
+        )
+        self._gate.update((_encode_seen(seen), fetched_total + admitted))
+        yield pd.DataFrame(out, columns=_GATE_COLUMNS)
+
+    def close(self):
+        pass
+
+
+def stream_frontier_fetch_tws(
+    urls_stream: DataFrame, host_budget: int = 8, use_robots: bool = False
+) -> DataFrame:
+    """:func:`stream_frontier_fetch` on the transformWithStateInPandas
+    API — same canonicalization, same admission kernel, same output
+    schema; only the stateful-operator binding differs. The session
+    must run the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # bind the abstract base lazily so importing this module never
+    # requires the streaming extras at batch-only call sites
+    proc_cls = type(
+        "_BoundFrontierGateProcessor", (FrontierGateProcessor, StatefulProcessor), {}
+    )
+    proc = proc_cls()
+    proc._host_budget = host_budget
+    proc._use_robots = use_robots
+
+    eligible = urls_stream.filter(F.col("url").rlike("^(?i)(https?|urn):"))
+    unwrapped = F.when(
+        F.col("url").rlike("^(?i)urn:[^:]+:.+"),
+        F.regexp_extract(F.col("url"), "^(?i)urn:[^:]+:(.+)$", 1),
+    ).otherwise(F.col("url"))
+    canon = eligible.withColumn("url", unwrapped).mapInPandas(
+        _canonicalize_batches, schema=_CANON_SCHEMA
+    )
+    return canon.groupBy("host").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=GATE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )

@@ -385,3 +385,154 @@ def test_streaming_frontier_matches_oracle_with_robots(spark, tmp_path):
     assert seen_urls == oracle.seen
     assert failed_urls == oracle.failed
     assert blocked_urls == oracle.blocked
+
+
+@pytest.mark.spark
+def test_tws_gate_matches_apply_in_pandas_gate(spark, tmp_path):
+    """The transformWithStateInPandas politeness gate (Spark 4 API)
+    emits EXACTLY what the applyInPandasWithState gate emits for the
+    same two micro-batches — both bind the same admission kernel, and
+    the second batch proves per-host state (exactly-once + budget)
+    survives between batches in both operators.
+
+    Environment-gated: pyspark's TWS state protocol needs protobuf,
+    which this container lacks; the stub-state parity test below keeps
+    the processor's logic covered here regardless."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithStateInPandas needs protobuf"
+    )
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.streaming.frontier import (
+        stream_frontier_fetch,
+        stream_frontier_fetch_tws,
+    )
+
+    schema = "url string, depth int, disc_seq long"
+    batches = [
+        # batch 0: over-budget host mix + an in-batch duplicate
+        [(u, 0, i) for i, u in enumerate(seed_urls(4, 3))]
+        + [(seed_urls(4, 3)[0], 0, 99)],
+        # batch 1: replays batch-0 URLs (must all dedup) + fresh ones
+        [(u, 1, 100 + i) for i, u in enumerate(seed_urls(4, 3))]
+        + [(f"https://tws{i}.example.net/x", 1, 200 + i) for i in range(3)],
+    ]
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        outs = {}
+        for variant, gate in (("aip", stream_frontier_fetch), ("tws", stream_frontier_fetch_tws)):
+            src = tmp_path / f"src_{variant}"
+            src.mkdir()
+            sink = str(tmp_path / f"sink_{variant}")
+            ckpt = str(tmp_path / f"ckpt_{variant}")
+            for rows in batches:
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(str(src))
+                q = (
+                    gate(spark.readStream.schema(schema).parquet(str(src)), host_budget=2)
+                    .writeStream.foreachBatch(
+                        lambda df, bid, s=sink: df.coalesce(1).write.mode("append").parquet(s)
+                    )
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(120)
+            outs[variant] = sorted(
+                tuple(r) for r in spark.read.parquet(sink).collect()
+            )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert outs["aip"], "gate emitted nothing"
+    assert outs["aip"] == outs["tws"]
+
+
+@pytest.mark.spark
+def test_tws_processor_kernel_parity_with_stub_state(spark):
+    """FrontierGateProcessor.handleInputRows against a stub ValueState
+    must emit the same rows and store the same state as the
+    applyInPandasWithState wrapper on the same per-host batch — this
+    pins the TWS binding (state encode/decode, budget wiring) without
+    needing Spark's TWS runtime (protobuf-gated in this container)."""
+    import pandas as pd
+
+    from mhtml_to_html_spark.frontier.fixtures import host_rank
+    from mhtml_to_html_spark.streaming.frontier import (
+        FrontierGateProcessor,
+        _politeness_gate,
+    )
+
+    host = "host0.example.com"
+    batch = pd.DataFrame(
+        {
+            "key": [f"https://{host}/p{i}" for i in range(5)] + [f"https://{host}/p0"],
+            "url": [f"https://{host}/p{i}" for i in range(5)] + [f"https://{host}/p0"],
+            "host": [host] * 6,
+            "depth": [0] * 6,
+            "host_rank": [host_rank(host)] * 6,
+            "disc_seq": [0, 1, 2, 3, 4, 9],
+        }
+    )
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubGroupState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubHandle:
+        def __init__(self, state):
+            self._state = state
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self._state
+
+    tws_state = StubValueState()
+    proc = FrontierGateProcessor()
+    proc._host_budget = 2
+    proc._use_robots = False
+    proc.init(StubHandle(tws_state))
+
+    group_state = StubGroupState()
+
+    for rnd in range(2):  # second round re-sends the batch: all dedup
+        tws_out = pd.concat(list(proc.handleInputRows((host,), iter([batch]), None)))
+        aip_out = pd.concat(
+            list(_politeness_gate((host,), iter([batch]), group_state, host_budget=2))
+        )
+        pd.testing.assert_frame_equal(
+            tws_out.reset_index(drop=True), aip_out.reset_index(drop=True)
+        )
+        assert tws_state.get() == group_state.get  # identical state layout
+    # 5 unique urls, budget 2/round: round 0 fetches 2 (3 deferred),
+    # round 1 fetches 2 more of the deferred — 4 seen, 4 fetched total
+    assert tws_state.get()[1] == 4 and len(tws_state.get()[0]) == 4
