@@ -24,10 +24,10 @@ Scale notes: state is per-host (hash-partitioned by the groupBy), one
 state row per host — 10^7 hosts spread over executors, each holding
 its own seen hashes; the global exact seen table still exists
 downstream (the sink), the state is the admission gate. Per-host page
-counts bound the state row; hosts with very deep crawls would
-graduate to a per-host Bloom + exact-sink check (the batch path's
-hybrid), which the schema allows (binary column) without changing the
-operator shape.
+counts bound the state row; hosts with very deep crawls GRADUATE to a
+per-host counting-Bloom (:class:`HostSeen`, opt-in via
+``graduate_after``) whose state row is bounded forever — no false
+negatives, documented false-positive contract.
 """
 
 from __future__ import annotations
@@ -42,7 +42,56 @@ GATE_SCHEMA = (
     "key string, url string, host string, depth int, disc_seq long, "
     "status string, attempts int, delay_ms long"
 )
-_GATE_STATE_SCHEMA = "seen array<long>, fetched_total long"
+_GATE_STATE_SCHEMA = "seen array<long>, fetched_total long, bloom binary"
+
+
+class HostSeen:
+    """Per-host seen set with Bloom graduation for very deep hosts.
+
+    Exact int64 set up to ``graduate_after`` keys; past that the host
+    GRADUATES: the exact set folds into a per-host counting-Bloom
+    (bounded ``bloom_bits`` bytes forever, vs an exact array that grows
+    with the host's page count — the state-row killer at 10^8-page
+    hosts). Graduation is opt-in (``graduate_after=None`` keeps exact
+    semantics) because it trades exactness for bounded state: a Bloom
+    has NO false negatives (nothing is ever fetched twice) but a
+    bounded false-positive rate (a never-seen URL can be skipped as
+    seen, ~(1-e^(-kn/m))^k). That is the standard large-crawler
+    contract (bloom-gated frontiers); the byte-for-byte-vs-oracle
+    configurations keep the default."""
+
+    def __init__(self, exact=None, bloom_blob=None, graduate_after=None, bloom_bits=1 << 17):
+        from ..frontier.seenset import CountingBloom
+
+        self.exact = set(exact or ())
+        self.bloom = CountingBloom.from_bytes(bytes(bloom_blob)) if bloom_blob else None
+        self.graduate_after = graduate_after
+        self.bloom_bits = bloom_bits
+
+    def __contains__(self, h64: int) -> bool:
+        if self.bloom is not None and self.bloom.might_contain(h64):
+            return True
+        return h64 in self.exact
+
+    def add(self, h64: int) -> None:
+        if self.bloom is not None:
+            self.bloom.add(h64)
+            return
+        self.exact.add(h64)
+        if self.graduate_after is not None and len(self.exact) >= self.graduate_after:
+            from ..frontier.seenset import CountingBloom
+
+            self.bloom = CountingBloom(self.bloom_bits)
+            for v in self.exact:
+                self.bloom.add(v)
+            self.exact = set()
+
+    def state_tuple(self, fetched_total: int) -> tuple:
+        return (
+            _encode_seen(self.exact),
+            fetched_total,
+            self.bloom.to_bytes() if self.bloom is not None else None,
+        )
 
 
 def _decode_seen(seen_list) -> set:
@@ -114,11 +163,18 @@ def _admit_host_batch(host: str, batch, seen: set, host_budget: int, use_robots:
 _GATE_COLUMNS = ["key", "url", "host", "depth", "disc_seq", "status", "attempts", "delay_ms"]
 
 
-def _politeness_gate(key, pdfs, state, host_budget: int = 8, use_robots: bool = False):
+def _politeness_gate(
+    key,
+    pdfs,
+    state,
+    host_budget: int = 8,
+    use_robots: bool = False,
+    graduate_after: int | None = None,
+):
     """applyInPandasWithState wrapper around :func:`_admit_host_batch`:
-    the host's exact seen-hash set + admission counters ride in the
-    GroupState (per-host state is exactly where a robots cache and a
-    seen set belong — they are host-keyed data)."""
+    the host's seen set (exact, or Bloom past graduation) + admission
+    counters ride in the GroupState (per-host state is exactly where a
+    robots cache and a seen set belong — they are host-keyed data)."""
     import pandas as pd
 
     (host,) = key
@@ -126,26 +182,31 @@ def _politeness_gate(key, pdfs, state, host_budget: int = 8, use_robots: bool = 
         state.remove()
         return
     if state.exists:
-        seen_list, fetched_total = state.get
-        seen = _decode_seen(seen_list)
+        seen_list, fetched_total, bloom_blob = state.get
+        seen = HostSeen(_decode_seen(seen_list), bloom_blob, graduate_after)
     else:
-        seen, fetched_total = set(), 0
+        seen, fetched_total = HostSeen(graduate_after=graduate_after), 0
 
     batch = pd.concat(list(pdfs), ignore_index=True)
     rows, admitted = _admit_host_batch(host, batch, seen, host_budget, use_robots)
-    state.update((_encode_seen(seen), fetched_total + admitted))
+    state.update(seen.state_tuple(fetched_total + admitted))
     yield pd.DataFrame(rows, columns=_GATE_COLUMNS)
 
 
 def stream_frontier_fetch(
-    urls_stream: DataFrame, host_budget: int = 8, use_robots: bool = False
+    urls_stream: DataFrame,
+    host_budget: int = 8,
+    use_robots: bool = False,
+    graduate_after: int | None = None,
 ) -> DataFrame:
     """(url, depth, disc_seq) stream → fetch-result stream.
 
     Output rows carry ``status`` ∈ {ok, failed, deferred, blocked};
     deferred rows are the feeder's re-queue contract. Canonicalization
     runs in the same vectorized UDF as the batch path, so the seen-set
-    KEY is identical between the two crawl shapes."""
+    KEY is identical between the two crawl shapes. ``graduate_after``
+    opts a deep host's state into Bloom graduation (see
+    :class:`HostSeen`); default keeps exact byte-for-byte semantics."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -160,7 +221,12 @@ def stream_frontier_fetch(
         _canonicalize_batches, schema=_CANON_SCHEMA
     )
     return canon.groupBy("host").applyInPandasWithState(
-        functools.partial(_politeness_gate, host_budget=host_budget, use_robots=use_robots),
+        functools.partial(
+            _politeness_gate,
+            host_budget=host_budget,
+            use_robots=use_robots,
+            graduate_after=graduate_after,
+        ),
         outputStructType=GATE_SCHEMA,
         stateStructType=_GATE_STATE_SCHEMA,
         outputMode="append",
@@ -176,9 +242,12 @@ class FrontierGateProcessor:
     applyInPandasWithState shape: both call :func:`_admit_host_batch`.
 
     State layout: one ValueState per host holding (seen array<long>,
-    fetched_total long) — the same struct the GroupState carries, so a
-    checkpoint migration between the two operators is a plain state
-    rewrite. Requires the RocksDB state store provider (TWS contract)."""
+    fetched_total long, bloom binary) — the same struct the GroupState
+    carries, so a checkpoint migration between the two operators is a
+    plain state rewrite. Requires the RocksDB state store provider
+    (TWS contract)."""
+
+    _graduate_after: int | None = None
 
     def init(self, handle):
         self._gate = handle.getValueState("gate", _GATE_STATE_SCHEMA)
@@ -188,15 +257,15 @@ class FrontierGateProcessor:
 
         (host,) = key
         if self._gate.exists():
-            seen_list, fetched_total = self._gate.get()
-            seen = _decode_seen(seen_list)
+            seen_list, fetched_total, bloom_blob = self._gate.get()
+            seen = HostSeen(_decode_seen(seen_list), bloom_blob, self._graduate_after)
         else:
-            seen, fetched_total = set(), 0
+            seen, fetched_total = HostSeen(graduate_after=self._graduate_after), 0
         batch = pd.concat(list(rows), ignore_index=True)
         out, admitted = _admit_host_batch(
             host, batch, seen, self._host_budget, self._use_robots
         )
-        self._gate.update((_encode_seen(seen), fetched_total + admitted))
+        self._gate.update(seen.state_tuple(fetched_total + admitted))
         yield pd.DataFrame(out, columns=_GATE_COLUMNS)
 
     def close(self):
@@ -204,7 +273,10 @@ class FrontierGateProcessor:
 
 
 def stream_frontier_fetch_tws(
-    urls_stream: DataFrame, host_budget: int = 8, use_robots: bool = False
+    urls_stream: DataFrame,
+    host_budget: int = 8,
+    use_robots: bool = False,
+    graduate_after: int | None = None,
 ) -> DataFrame:
     """:func:`stream_frontier_fetch` on the transformWithStateInPandas
     API — same canonicalization, same admission kernel, same output
@@ -223,6 +295,7 @@ def stream_frontier_fetch_tws(
     proc = proc_cls()
     proc._host_budget = host_budget
     proc._use_robots = use_robots
+    proc._graduate_after = graduate_after
 
     eligible = urls_stream.filter(F.col("url").rlike("^(?i)(https?|urn):"))
     unwrapped = F.when(

@@ -536,3 +536,76 @@ def test_tws_processor_kernel_parity_with_stub_state(spark):
     # 5 unique urls, budget 2/round: round 0 fetches 2 (3 deferred),
     # round 1 fetches 2 more of the deferred — 4 seen, 4 fetched total
     assert tws_state.get()[1] == 4 and len(tws_state.get()[0]) == 4
+
+
+def test_host_seen_bloom_graduation():
+    """HostSeen: exact until graduate_after, then the set folds into a
+    bounded per-host Bloom — never a false negative (nothing refetched),
+    state row bounded forever."""
+    from mhtml_to_html_spark.streaming.frontier import HostSeen
+
+    s = HostSeen(graduate_after=100, bloom_bits=1 << 15)
+    keys = [hash(("k", i)) & 0xFFFFFFFFFFFFFFFF for i in range(5000)]
+    for k in keys[:99]:
+        s.add(k)
+    assert s.bloom is None and len(s.exact) == 99  # still exact
+    s.add(keys[99])
+    assert s.bloom is not None and not s.exact  # graduated, exact folded
+    for k in keys[100:]:
+        s.add(k)
+    # no false negatives: every added key still reads as seen
+    assert all(k in s for k in keys)
+    # bounded state: blob size is the filter, not the key count
+    exact_list, total, blob = s.state_tuple(0)
+    assert exact_list == [] and len(blob) == (1 << 15) + 8
+    # round-trip through the state tuple preserves membership
+    s2 = HostSeen(exact_list, blob, graduate_after=100)
+    assert all(k in s2 for k in keys)
+
+
+@pytest.mark.spark
+def test_streaming_gate_bloom_graduation_live(spark, tmp_path):
+    """The gate with graduate_after: batch 0 graduates the host; batch
+    1 must dedup every replayed URL against the BLOOM (nothing fetched
+    twice) while still admitting fresh URLs, and the checkpointed state
+    row stays bounded (empty exact array + fixed-size blob)."""
+    from mhtml_to_html_spark.streaming.frontier import stream_frontier_fetch
+
+    host = "deep0.example.com"
+    schema = "url string, depth int, disc_seq long"
+    urls0 = [(f"https://{host}/page/{i}", 0, i) for i in range(8)]
+    urls1 = urls0 + [(f"https://{host}/fresh/{i}", 1, 100 + i) for i in range(4)]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    outs = []
+    for rows in (urls0, urls1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        q = (
+            stream_frontier_fetch(
+                spark.readStream.schema(schema).parquet(str(src)),
+                host_budget=50,
+                graduate_after=4,
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid, s=sink: df.coalesce(1).write.mode("append").parquet(s)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        outs.append(spark.read.parquet(sink).collect())
+
+    batch0 = {r["key"] for r in outs[0]}
+    assert len(batch0) == 8  # all admitted in batch 0
+    batch1 = [r for r in outs[1] if r not in outs[0]]
+    batch1_keys = {r["key"] for r in outs[1]} - batch0
+    # replays NEVER re-emit (bloom dedup); only the fresh URLs appear
+    assert batch1_keys == {f"https://{host}/fresh/{i}" for i in range(4)}
