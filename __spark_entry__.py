@@ -313,6 +313,18 @@ def q_pipe_contamination(spark, sf_dir):
     return contamination(_load(spark, sf_dir, "documents"), 97).orderBy("doc_id")
 
 
+def q_sim_ann_recall(spark, sf_dir):
+    from mhtml_to_html_spark.operators.similarity import ann_recall
+
+    return ann_recall(_load(spark, sf_dir, "embeddings"))
+
+
+def q_sim_kmeans_fit(spark, sf_dir):
+    from mhtml_to_html_spark.operators.kmeans import kmeans_fit
+
+    return kmeans_fit(_load(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     from mhtml_to_html_spark.operators.similarity import cosine_topk
 
@@ -947,6 +959,136 @@ _LANG_STOP = {
 }
 
 
+def _ann_recall_oracle(query_ids=(0, 7, 13), k: int = 10) -> str:
+    """Per-(method, query) recall@k replay: regenerates each ANN
+    variant's top-k CTE per query id (same expressions as the
+    sim_lsh_topk / sim_lsh_multiprobe / sim_ivf_topk oracles,
+    parameterized by query id) and intersects with exact cosine."""
+
+    def bucket_expr(dims: int) -> str:
+        return (
+            "("
+            + " || ".join(
+                f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+                for i in range(dims)
+            )
+            + ")"
+        )
+
+    def flips(dims: int) -> str:
+        return ", ".join(
+            f"substr(qbucket, 1, {i}) || "
+            f"(CASE WHEN substr(qbucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substr(qbucket, {i + 2})"
+            for i in range(dims)
+        )
+
+    ctes, selects = [], []
+    for q in query_ids:
+        ctes.append(
+            f"""exact_{q} AS (
+  SELECT vec_id FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = {q}) qq
+  WHERE vec_id <> {q}
+  ORDER BY {_cosine_expr('e.embedding', 'qq.qv')} DESC, vec_id LIMIT {k})"""
+        )
+        ctes.append(
+            f"""b4_{q} AS (SELECT *, {bucket_expr(4)} AS bucket FROM embeddings),
+lsh_{q} AS (
+  SELECT vec_id FROM b4_{q} e,
+       (SELECT embedding AS qv, bucket AS qbucket FROM b4_{q} WHERE vec_id = {q}) qq
+  WHERE vec_id <> {q} AND bucket = qbucket
+  ORDER BY {_cosine_expr('e.embedding', 'qq.qv')} DESC, vec_id LIMIT {k})"""
+        )
+        ctes.append(
+            f"""b8_{q} AS (SELECT *, {bucket_expr(8)} AS bucket FROM embeddings),
+p8_{q} AS (
+  SELECT qv, unnest([qbucket, {flips(8)}]) AS bucket
+  FROM (SELECT embedding AS qv, bucket AS qbucket FROM b8_{q} WHERE vec_id = {q})),
+mp_{q} AS (
+  SELECT vec_id FROM b8_{q} e JOIN p8_{q} qq USING (bucket) WHERE vec_id <> {q}
+  ORDER BY {_cosine_expr('e.embedding', 'qq.qv')} DESC, vec_id LIMIT {k})"""
+        )
+        d_assign = _sq_l2_expr("e.embedding", "c.cvec")
+        d_query = _sq_l2_expr("qq.qv", "c.cvec")
+        ctes.append(
+            f"""assigned_{q} AS (
+  SELECT e.vec_id, arg_min(c.cent_id, {d_assign}) AS cell
+  FROM embeddings e CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cvec
+                                FROM embeddings WHERE vec_id < 16) c
+  GROUP BY e.vec_id),
+qc_{q} AS (
+  SELECT c.cent_id AS cell, qq.qv
+  FROM (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16) c
+       CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = {q}) qq
+  ORDER BY {d_query}, c.cent_id LIMIT 4),
+ivf_{q} AS (
+  SELECT a.vec_id
+  FROM assigned_{q} a JOIN embeddings e USING (vec_id) JOIN qc_{q} qq USING (cell)
+  WHERE a.vec_id <> {q}
+  ORDER BY {_cosine_expr('e.embedding', 'qq.qv')} DESC, a.vec_id LIMIT {k})"""
+        )
+        for method, cte in (("ivf", f"ivf_{q}"), ("lsh", f"lsh_{q}"), ("lsh_multiprobe", f"mp_{q}")):
+            selects.append(
+                f"SELECT '{method}' AS method, CAST({q} AS BIGINT) AS query_id, "
+                f"round((SELECT count(*) FROM {cte} x WHERE x.vec_id IN "
+                f"(SELECT vec_id FROM exact_{q})) / {k}.0, 6) AS recall"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY method, query_id"
+    )
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    """Lloyd's unrolled to n_iter CTE blocks — same deterministic init,
+    6-decimal centroid quantization per boundary, left-to-right
+    distance accumulation, cid tie-break as operators/kmeans.py."""
+    rng = f"range(1, {dim + 1})"
+
+    def dist(c_rel: str) -> str:
+        return (
+            f"list_aggregate(list_transform({rng}, j -> "
+            f"(CAST(e.embedding[j] AS DOUBLE) - {c_rel}.c[j]) * "
+            f"(CAST(e.embedding[j] AS DOUBLE) - {c_rel}.c[j])), 'sum')"
+        )
+
+    blocks = [
+        f"""init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = "init"
+    for it in range(1, n_iter + 1):
+        blocks.append(
+            f"""d{it} AS (
+  SELECT e.vec_id, i.cid, {dist('i')} AS dist
+  FROM embeddings e CROSS JOIN {prev} i),
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{it}) WHERE rn = 1),
+m{it} AS (
+  SELECT a{it}.cid, t.j AS pos, round(avg(CAST(e.embedding[t.j] AS DOUBLE)), 6) AS val
+  FROM a{it} JOIN embeddings e USING (vec_id), {rng} t(j) GROUP BY 1, 2),
+c{it} AS (
+  SELECT p.cid, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS c FROM m{it} GROUP BY cid) n
+    USING (cid))"""
+        )
+        prev = f"c{it}"
+    last = n_iter
+    return f"""
+WITH {','.join(blocks)},
+s{last} AS (SELECT cid, count(*) AS size FROM a{last} GROUP BY cid)
+SELECT CAST(c.cid AS INT) AS cid, CAST(t.j - 1 AS INT) AS pos,
+       c.c[t.j] AS val, CAST(coalesce(s{last}.size, 0) AS BIGINT) AS size
+FROM c{last} c LEFT JOIN s{last} USING (cid), {rng} t(j)
+ORDER BY cid, pos"""
+
+
 def _hash_split_oracle() -> str:
     """CASE chain generated from the SAME split_bounds the Spark
     operator uses, so the two can never drift."""
@@ -1303,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "sim_kmeans_fit": q_sim_kmeans_fit,
+        "sim_ann_recall": q_sim_ann_recall,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_stratified_sample": q_pipe_stratified_sample,
         "pipe_tfidf_top_terms": q_pipe_tfidf_top_terms,
@@ -1460,6 +1604,8 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
        CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
 FROM documents ORDER BY doc_id""",
+        "sim_kmeans_fit": _kmeans_oracle(),
+        "sim_ann_recall": _ann_recall_oracle(),
         "pipe_hash_split": _hash_split_oracle(),
         "pipe_stratified_sample": """
 WITH ranked AS (

@@ -295,3 +295,31 @@ def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, dims: in
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ann_recall(
+    embeddings: DataFrame, query_ids=(0, 7, 13), k: int = 10
+) -> DataFrame:
+    """Recall@k evaluation harness: each ANN variant (single-bucket
+    LSH, multi-probe LSH, IVF) scored against brute-force cosine top-k
+    for a panel of query vectors — (method, query_id, recall) rows.
+
+    This is an EVAL harness, not a data-path operator: each top-k list
+    is k rows, so collecting them to compare is the correct shape at
+    any corpus size (the expensive part — the candidate scans — runs
+    distributed inside each variant)."""
+    spark = embeddings.sparkSession
+    rows = []
+    for q in query_ids:
+        exact = {r["vec_id"] for r in cosine_topk(embeddings, q, k).collect()}
+        variants = (
+            ("ivf", ivf_topk(embeddings, q, k, n_cells=16, n_probe=4)),
+            ("lsh", lsh_topk(embeddings, q, k, dims=4)),
+            ("lsh_multiprobe", lsh_topk_multiprobe(embeddings, q, k, dims=8)),
+        )
+        for method, df in variants:
+            got = {r["vec_id"] for r in df.collect()}
+            rows.append((method, q, round(len(got & exact) / k, 6)))
+    return spark.createDataFrame(
+        rows, "method string, query_id long, recall double"
+    ).orderBy("method", "query_id")

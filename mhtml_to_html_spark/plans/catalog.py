@@ -100,4 +100,72 @@ class SnapshotCatalog:
             return json.load(f)
 
     def load_table(self, spark: SparkSession, snapshot_id: int, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._snap_dir(snapshot_id), name))
+        entry = self.manifest(snapshot_id)["tables"].get(name) or {}
+        # a table entry may reference another snapshot's data files
+        # (Iceberg's unchanged-manifest reuse — see merge_table)
+        path = entry.get("path") or os.path.join(self._snap_dir(snapshot_id), name)
+        return spark.read.parquet(path)
+
+    # -- merge ---------------------------------------------------------------
+
+    def merge_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        metrics: dict[str, Any] | None = None,
+        round_idx: int | None = None,
+    ) -> int:
+        """MERGE INTO in miniature (Iceberg copy-on-write semantics):
+        rows of ``updates`` replace same-key rows of the latest
+        snapshot's table, new keys append, and the result is a NEW
+        immutable snapshot (time travel to the parent still sees the
+        pre-merge table).
+
+        Schema evolution is additive (Iceberg's rule): a column present
+        on only one side is null-filled on the other, so old snapshots
+        stay readable and new columns appear without a rewrite of
+        history. Sibling tables of the parent snapshot ride into the
+        new manifest as REFERENCES to the parent's data files — only
+        the merged table's files are rewritten.
+
+        Shape at scale: one left-anti join of the base against the
+        update keys (broadcastable when the update batch is small — the
+        common incremental-ingest case) + a union; never a row-by-row
+        driver loop."""
+        import pyspark.sql.functions as F
+
+        parent = self.latest()
+        if parent is not None and name in parent["tables"]:
+            base = self.load_table(spark, parent["snapshot_id"], name)
+            for c, t in updates.dtypes:
+                if c not in base.columns:
+                    base = base.withColumn(c, F.lit(None).cast(t))
+            for c, t in base.dtypes:
+                if c not in updates.columns:
+                    updates = updates.withColumn(c, F.lit(None).cast(t))
+            cols = base.columns
+            merged = (
+                base.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+                .select(*cols)
+                .unionByName(updates.select(*cols))
+            )
+        else:
+            merged = updates
+        snapshot_id = self.write_snapshot({name: merged}, metrics=metrics, round_idx=round_idx)
+        if parent is not None:
+            man = self.manifest(snapshot_id)
+            changed = False
+            for other, entry in parent["tables"].items():
+                if other == name or other in man["tables"]:
+                    continue
+                path = entry.get("path") or os.path.join(
+                    self._snap_dir(parent["snapshot_id"]), other
+                )
+                man["tables"][other] = {**entry, "path": path}
+                changed = True
+            if changed:
+                with open(os.path.join(self._snap_dir(snapshot_id), "manifest.json"), "w") as f:
+                    json.dump(man, f, indent=1, sort_keys=True)
+        return snapshot_id

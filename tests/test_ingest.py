@@ -36,3 +36,44 @@ def test_ingest_snapshots_and_time_travel(spark, tmp_path):
     table = manifest["tables"]["images"]
     assert table["rows"] == 16
     assert sum(f["rows"] for f in table["files"]) == 16
+
+
+@pytest.mark.spark
+def test_merge_table_upsert_time_travel_and_schema_evolution(spark, tmp_path):
+    """merge_table: SCD1 upsert as a new immutable snapshot — updated
+    key replaced, new key appended, parent snapshot unchanged (time
+    travel), a new column null-fills history (additive evolution), and
+    an untouched sibling table rides into the new manifest by
+    REFERENCE (its data files are not rewritten)."""
+    from mhtml_to_html_spark.plans.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    imgs = spark.createDataFrame(
+        [(1, "cat", 10), (2, "dog", 20)], "image_id long, caption string, w int"
+    )
+    sibling = spark.createDataFrame([(1, "a")], "k long, v string")
+    s0 = cat.write_snapshot({"images": imgs, "meta": sibling})
+
+    updates = spark.createDataFrame(
+        [(2, "dog v2", 21, "jpg"), (3, "owl", 30, "png")],
+        "image_id long, caption string, w int, fmt string",
+    )
+    s1 = cat.merge_table(spark, "images", updates, ["image_id"])
+    assert s1 == s0 + 1
+
+    after = {r["image_id"]: r for r in cat.load_table(spark, s1, "images").collect()}
+    assert set(after) == {1, 2, 3}
+    assert after[2]["caption"] == "dog v2" and after[2]["fmt"] == "jpg"
+    assert after[1]["caption"] == "cat" and after[1]["fmt"] is None  # evolved, null-filled
+    # time travel: the parent still sees the pre-merge table + old schema
+    before = cat.load_table(spark, s0, "images")
+    assert "fmt" not in before.columns
+    assert {r["caption"] for r in before.collect()} == {"cat", "dog"}
+    # sibling table readable from the NEW snapshot without a rewrite
+    sib = cat.load_table(spark, s1, "meta")
+    assert [tuple(r) for r in sib.collect()] == [(1, "a")]
+    assert "path" in cat.manifest(s1)["tables"]["meta"]  # by reference
+    import os
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "cat"), "snapshots", f"snap_{s1:06d}", "meta")
+    )

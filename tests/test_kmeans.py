@@ -1,0 +1,94 @@
+"""Lloyd's k-means (operators/kmeans.py): recovery of planted
+clusters, the empty-cluster rule, and plan shape (broadcast centroids,
+no shuffle of the vector side in the assignment)."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _planted(spark):
+    """12 vectors in 3 tight planted clusters around orthogonal
+    anchors; vec_ids interleaved so init picks one point per cluster
+    is NOT given — convergence has to do the work."""
+    anchors = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]]
+    rows = []
+    vid = 0
+    for rep in range(4):
+        for a_i, a in enumerate(anchors):
+            jitter = 0.01 * (rep + 1)
+            rows.append((vid, [v + (jitter if j == 3 else 0.0) for j, v in enumerate(a)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.mark.spark
+def test_kmeans_recovers_planted_clusters(spark):
+    from mhtml_to_html_spark.operators.kmeans import kmeans_fit, kmeans_predict
+
+    df = _planted(spark)
+    fitted = kmeans_fit(df, k=3, n_iter=3)
+    rows = fitted.collect()
+    assert len(rows) == 3 * 4  # k x dim
+    sizes = {r["cid"]: r["size"] for r in rows}
+    assert sorted(sizes.values()) == [4, 4, 4]
+    # each centroid sits on one anchor axis (value ~10 in exactly one
+    # of the first three dims)
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], [0.0] * 4)[r["pos"]] = r["val"]
+    for c in by_cid.values():
+        big = [j for j in range(3) if abs(c[j] - 10.0) < 0.5]
+        assert len(big) == 1, c
+    # predict routes every vector to the centroid of its planted anchor
+    centroids = [by_cid[c] for c in sorted(by_cid)]
+    pred = {r["vec_id"]: r["cid"] for r in kmeans_predict(df, centroids).collect()}
+    assert len({pred[v] for v in (0, 3, 6, 9)}) == 1  # same planted cluster
+    assert len({pred[0], pred[1], pred[2]}) == 3  # different clusters apart
+
+
+@pytest.mark.spark
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from mhtml_to_html_spark.operators.kmeans import kmeans_fit
+
+    # two far points, k=3: at least one cluster gets no members and
+    # must keep its init centroid (not NaN, not dropped)
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.001, 0.0]), (2, [100.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_fit(df, k=3, n_iter=2).collect()
+    assert len(rows) == 6
+    sizes = {r["cid"]: r["size"] for r in rows}
+    assert sum(sizes.values()) == 3
+    vals = [r["val"] for r in rows]
+    assert all(v == v for v in vals)  # no NaN anywhere
+
+
+@pytest.mark.spark
+def test_kmeans_assignment_plan_broadcasts_centroids(spark):
+    from mhtml_to_html_spark.operators.kmeans import _assign
+
+    from test_plans import plan_of
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(_assign(emb, [[0.0] * 64, [1.0] * 64]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+def test_ann_recall_panel(spark):
+    """ann_recall: IVF with 4/16 probed cells must dominate the tiny
+    single-bucket LSH on recall, every value in [0,1], full panel."""
+    from mhtml_to_html_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = ann_recall(emb, query_ids=(0, 7), k=5).collect()
+    assert len(rows) == 6  # 3 methods x 2 queries
+    by_method = {}
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        by_method.setdefault(r["method"], []).append(r["recall"])
+    assert set(by_method) == {"ivf", "lsh", "lsh_multiprobe"}
+    assert sum(by_method["ivf"]) >= sum(by_method["lsh"])
