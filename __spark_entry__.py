@@ -283,6 +283,20 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_text_corpus_stats(spark, sf_dir):
+    from mhtml_to_html_spark.operators.text import corpus_stats
+
+    return corpus_stats(_load(spark, sf_dir, "documents")).orderBy("lang")
+
+
+def q_events_sessionize(spark, sf_dir):
+    from mhtml_to_html_spark.operators.events import sessionize_batch
+
+    return sessionize_batch(_load(spark, sf_dir, "events"), 30).orderBy(
+        "user_id", "session_start"
+    )
+
+
 def q_pipe_hash_split(spark, sf_dir):
     from mhtml_to_html_spark.operators.pipeline import hash_split
 
@@ -1447,6 +1461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_kmeans_fit": q_sim_kmeans_fit,
         "sim_ann_recall": q_sim_ann_recall,
+        "text_corpus_stats": q_text_corpus_stats,
+        "events_sessionize": q_events_sessionize,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_stratified_sample": q_pipe_stratified_sample,
         "pipe_tfidf_top_terms": q_pipe_tfidf_top_terms,
@@ -1606,6 +1622,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents ORDER BY doc_id""",
         "sim_kmeans_fit": _kmeans_oracle(),
         "sim_ann_recall": _ann_recall_oracle(),
+        "text_corpus_stats": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+FROM documents GROUP BY lang ORDER BY lang""",
+        "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sids AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start""",
         "pipe_hash_split": _hash_split_oracle(),
         "pipe_stratified_sample": """
 WITH ranked AS (

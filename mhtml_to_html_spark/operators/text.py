@@ -109,3 +109,21 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, avg_chars, p50_chars, p95_chars): per-language
+    length distribution — the curation dashboard numbers a pipeline
+    watches while filtering. EXACT percentiles (Spark `percentile`,
+    linear interpolation — the same definition as DuckDB quantile_cont,
+    so the oracle replays bit-close and round(4) closes the gap); at
+    100 TB the same query swaps in approx_percentile for one pass."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
+        )
+    )

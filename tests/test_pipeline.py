@@ -152,3 +152,39 @@ def test_contamination_broadcasts_eval_universe(spark):
     plan = plan_of(contamination(_docs(spark)))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin LeftSemi" not in plan
+
+
+@pytest.mark.spark
+def test_sessionize_batch_gap_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.operators.events import sessionize_batch
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.0),
+        (2, "2024-01-01 10:10:00", 7, 2.0),   # same session (10 min)
+        (3, "2024-01-01 11:00:00", 7, 4.0),   # 50 min gap -> new session
+        (4, "2024-01-01 10:05:00", 8, 8.0),   # other user
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in sessionize_batch(events, 30).collect()
+    )
+    assert got == [(7, 1, 4.0), (7, 2, 3.0), (8, 1, 8.0)]
+
+
+@pytest.mark.spark
+def test_corpus_stats_percentiles(spark):
+    from mhtml_to_html_spark.operators.text import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = corpus_stats(docs).collect()[0]
+    assert r["n_docs"] == 4 and r["avg_chars"] == 25.0
+    assert r["p50_chars"] == 25.0  # linear interpolation between 20 and 30
+    assert r["p95_chars"] == 38.5
