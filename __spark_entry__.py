@@ -327,6 +327,14 @@ def q_pipe_contamination(spark, sf_dir):
     return contamination(_load(spark, sf_dir, "documents"), 97).orderBy("doc_id")
 
 
+def q_sim_ivf_trained(spark, sf_dir):
+    from mhtml_to_html_spark.operators.kmeans import ivf_topk_trained
+
+    return ivf_topk_trained(
+        _load(spark, sf_dir, "embeddings"), 0, 10, n_cells=4, n_iter=2, n_probe=2
+    )
+
+
 def q_sim_ann_recall(spark, sf_dir):
     from mhtml_to_html_spark.operators.similarity import ann_recall
 
@@ -1055,10 +1063,11 @@ ivf_{q} AS (
     )
 
 
-def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
-    """Lloyd's unrolled to n_iter CTE blocks — same deterministic init,
-    6-decimal centroid quantization per boundary, left-to-right
-    distance accumulation, cid tie-break as operators/kmeans.py."""
+def _kmeans_blocks(k: int, n_iter: int, dim: int) -> list[str]:
+    """The shared Lloyd's CTE chain (init, d/a/m/c per iteration) —
+    same deterministic init, 6-decimal centroid quantization per
+    boundary, left-to-right distance accumulation, cid tie-break as
+    operators/kmeans.py. The last block is ``c{n_iter}`` (cid, c)."""
     rng = f"range(1, {dim + 1})"
 
     def dist(c_rel: str) -> str:
@@ -1093,6 +1102,12 @@ c{it} AS (
     USING (cid))"""
         )
         prev = f"c{it}"
+    return blocks
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    blocks = _kmeans_blocks(k, n_iter, dim)
+    rng = f"range(1, {dim + 1})"
     last = n_iter
     return f"""
 WITH {','.join(blocks)},
@@ -1101,6 +1116,41 @@ SELECT CAST(c.cid AS INT) AS cid, CAST(t.j - 1 AS INT) AS pos,
        c.c[t.j] AS val, CAST(coalesce(s{last}.size, 0) AS BIGINT) AS size
 FROM c{last} c LEFT JOIN s{last} USING (cid), {rng} t(j)
 ORDER BY cid, pos"""
+
+
+def _ivf_trained_oracle(
+    qid: int = 0, k: int = 10, n_cells: int = 4, n_iter: int = 2, n_probe: int = 2, dim: int = 64
+) -> str:
+    """Trained-codebook IVF: the shared Lloyd's CTE chain trains the
+    centroids, then cell routing + n_probe probing + exact cosine —
+    same quantization/tie rules as operators/kmeans.ivf_topk_trained."""
+    blocks = _kmeans_blocks(n_cells, n_iter, dim)
+    rng = f"range(1, {dim + 1})"
+    last = f"c{n_iter}"
+    d_vec = (
+        f"list_aggregate(list_transform({rng}, j -> "
+        f"(CAST(e.embedding[j] AS DOUBLE) - i.c[j]) * "
+        f"(CAST(e.embedding[j] AS DOUBLE) - i.c[j])), 'sum')"
+    )
+    d_query = (
+        f"list_aggregate(list_transform({rng}, j -> "
+        f"(q.qv[j] - i.c[j]) * (q.qv[j] - i.c[j])), 'sum')"
+    )
+    return f"""
+WITH {','.join(blocks)},
+routed AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, i.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_vec}, i.cid) AS rn
+    FROM embeddings e CROSS JOIN {last} i) WHERE rn = 1),
+q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {qid}),
+probe AS (SELECT i.cid FROM {last} i CROSS JOIN q ORDER BY {d_query}, i.cid LIMIT {n_probe})
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.cid AS INT) AS cell,
+       {_cosine_expr('e.embedding', 'q.qv')} AS cosine
+FROM routed a JOIN embeddings e USING (vec_id) JOIN probe p ON p.cid = a.cid CROSS JOIN q
+WHERE a.vec_id <> {qid}
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
 def _hash_split_oracle() -> str:
@@ -1460,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "sim_kmeans_fit": q_sim_kmeans_fit,
+        "sim_ivf_trained": q_sim_ivf_trained,
         "sim_ann_recall": q_sim_ann_recall,
         "text_corpus_stats": q_text_corpus_stats,
         "events_sessionize": q_events_sessionize,
@@ -1621,6 +1672,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
 FROM documents ORDER BY doc_id""",
         "sim_kmeans_fit": _kmeans_oracle(),
+        "sim_ivf_trained": _ivf_trained_oracle(),
         "sim_ann_recall": _ann_recall_oracle(),
         "text_corpus_stats": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -52,13 +52,11 @@ def _assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def kmeans_fit(embeddings: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
-    """Lloyd's k-means: returns (cid, pos, val, size) — the trained
-    centroid matrix exploded to one row per (cluster, dimension), plus
-    each cluster's final membership count. An empty cluster keeps its
-    previous centroid (standard Lloyd's rule, and the rule the oracle
-    replays)."""
-    spark = embeddings.sparkSession
+def lloyd(embeddings: DataFrame, k: int = 4, n_iter: int = 2):
+    """The Lloyd's driver loop: returns (centroids, sizes) — the k×dim
+    quantized centroid matrix and final cluster membership counts. An
+    empty cluster keeps its previous centroid (standard Lloyd's rule,
+    and the rule the oracle replays)."""
     dim = len(embeddings.select("embedding").first()["embedding"])
     init_rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     centroids = [[round(float(v), 6) for v in r["embedding"]] for r in init_rows]
@@ -81,12 +79,80 @@ def kmeans_fit(embeddings: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
             [float(by_cid[i][f"c{j}"]) for j in range(dim)] if i in by_cid else centroids[i]
             for i in range(k)
         ]
+    return centroids, sizes
 
+
+def kmeans_fit(embeddings: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
+    """Lloyd's k-means: returns (cid, pos, val, size) — the trained
+    centroid matrix exploded to one row per (cluster, dimension), plus
+    each cluster's final membership count."""
+    spark = embeddings.sparkSession
+    centroids, sizes = lloyd(embeddings, k, n_iter)
+    dim = len(centroids[0])
     rows = [
         (cid, pos, centroids[cid][pos], sizes[cid]) for cid in range(k) for pos in range(dim)
     ]
     return spark.createDataFrame(rows, "cid int, pos int, val double, size long").orderBy(
         "cid", "pos"
+    )
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 4,
+    n_iter: int = 2,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN over TRAINED centroids (the production IVF shape —
+    ``similarity.ivf_topk`` quantizes against raw sample vectors; this
+    trains the codebook with :func:`lloyd` first): route every vector
+    to its nearest trained centroid, probe the query's ``n_probe``
+    nearest cells, exact-cosine rerank inside them.
+
+    Scale: training touches the data n_iter times (broadcast centroids,
+    partial aggs); at query time the cell column is a partition key, so
+    a probe scans n_probe/n_cells of the corpus."""
+    centroids, _ = lloyd(embeddings, n_cells, n_iter)
+    assigned = _assign(embeddings, centroids)
+
+    q_emb = (
+        embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    qv = [float(v) for v in q_emb]
+    # n_probe nearest cells to the query, same distance + tie rule
+    def _d(c):
+        return sum((float(a) - b) * (float(a) - b) for a, b in zip(qv, c))
+
+    probe_cells = [
+        cid for cid, _ in sorted(enumerate(centroids), key=lambda t: (_d(t[1]), t[0]))[:n_probe]
+    ]
+
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame([(qv,)], "qvec array<double>")
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        assigned.filter(F.col("cid").isin(probe_cells))
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("cosine", F.round(dot / (norm(F.col("embedding")) * norm(F.col("qvec"))), 6))
+        .select("vec_id", F.col("cid").cast("int").alias("cell"), "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
     )
 
 

@@ -92,3 +92,18 @@ def test_ann_recall_panel(spark):
         by_method.setdefault(r["method"], []).append(r["recall"])
     assert set(by_method) == {"ivf", "lsh", "lsh_multiprobe"}
     assert sum(by_method["ivf"]) >= sum(by_method["lsh"])
+
+
+@pytest.mark.spark
+def test_ivf_trained_full_probe_equals_brute_force(spark):
+    """Probing every trained cell must reproduce exact brute-force
+    cosine top-k (the ANN is lossless when nothing is pruned)."""
+    from mhtml_to_html_spark.operators.kmeans import ivf_topk_trained
+    from mhtml_to_html_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    full = ivf_topk_trained(emb, 0, 10, n_cells=4, n_iter=2, n_probe=4)
+    brute = cosine_topk(emb, 0, 10)
+    got = [(r["vec_id"], r["cosine"]) for r in full.collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in brute.collect()]
+    assert got == want
