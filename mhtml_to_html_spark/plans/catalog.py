@@ -106,6 +106,43 @@ class SnapshotCatalog:
         path = entry.get("path") or os.path.join(self._snap_dir(snapshot_id), name)
         return spark.read.parquet(path)
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_files: int = 1,
+        metrics: dict[str, Any] | None = None,
+    ) -> int:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` in
+        miniature): rewrite the latest snapshot's table into
+        ``target_files`` files as a NEW snapshot — rows identical, file
+        count bounded; history still time-travels to the fragmented
+        version. Incremental ingest appends a file per micro-batch/
+        round, so compaction is what keeps scan task counts sane."""
+        parent = self.latest()
+        if parent is None or name not in parent["tables"]:
+            raise KeyError(f"no table {name!r} in the latest snapshot")
+        df = self.load_table(spark, parent["snapshot_id"], name).coalesce(target_files)
+        snapshot_id = self.write_snapshot(
+            {name: df}, metrics={**(metrics or {}), "compacted": name}
+        )
+        man = self.manifest(snapshot_id)
+        changed = False
+        for other, entry in parent["tables"].items():
+            if other == name or other in man["tables"]:
+                continue
+            path = entry.get("path") or os.path.join(
+                self._snap_dir(parent["snapshot_id"]), other
+            )
+            man["tables"][other] = {**entry, "path": path}
+            changed = True
+        if changed:
+            with open(os.path.join(self._snap_dir(snapshot_id), "manifest.json"), "w") as f:
+                json.dump(man, f, indent=1, sort_keys=True)
+        return snapshot_id
+
     # -- merge ---------------------------------------------------------------
 
     def merge_table(

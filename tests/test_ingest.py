@@ -77,3 +77,26 @@ def test_merge_table_upsert_time_travel_and_schema_evolution(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(str(tmp_path / "cat"), "snapshots", f"snap_{s1:06d}", "meta")
     )
+
+
+@pytest.mark.spark
+def test_compact_table_rewrites_files_not_rows(spark, tmp_path):
+    """Compaction: same rows, bounded file count, fragmented history
+    still readable via time travel, siblings carried by reference."""
+    from mhtml_to_html_spark.plans.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    frag = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(40)], "image_id long, caption string"
+    ).repartition(8)
+    sib = spark.createDataFrame([(1, "x")], "k long, v string")
+    s0 = cat.write_snapshot({"images": frag, "meta": sib})
+    assert len(cat.manifest(s0)["tables"]["images"]["files"]) == 8
+
+    s1 = cat.compact_table(spark, "images", target_files=1)
+    assert len(cat.manifest(s1)["tables"]["images"]["files"]) == 1
+    got = sorted(tuple(r) for r in cat.load_table(spark, s1, "images").collect())
+    want = sorted(tuple(r) for r in cat.load_table(spark, s0, "images").collect())
+    assert got == want and len(got) == 40
+    assert "path" in cat.manifest(s1)["tables"]["meta"]
+    assert cat.manifest(s1)["metrics"]["compacted"] == "images"
