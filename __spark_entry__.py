@@ -718,6 +718,48 @@ def _phash_neardup_values() -> str:
     ) + " ORDER BY img_a, img_b"
 
 
+def q_image_dedup_clusters(spark, sf_dir):
+    """phash duplicate clusters over the image payload corpus."""
+    from mhtml_to_html_spark.operators.similarity import image_dedup_clusters
+
+    df = spark.createDataFrame(_phash_corpus_rows(), "image_id string, phash long")
+    return image_dedup_clusters(df, 6).orderBy("image_id")
+
+
+def _image_clusters_oracle() -> str:
+    """Recursive transitive closure in DuckDB over the SAME banded
+    candidate pairs as the phash_neardup oracle — the closure itself is
+    computed by the oracle engine, not replayed from Python."""
+    corpus = _phash_corpus_rows()
+    nodes = ", ".join(f"('{i}')" for i, _ in corpus)
+    pair_rows = []
+    for i, (id_a, pa) in enumerate(corpus):
+        for id_b, pb in corpus[i + 1 :]:
+            shares_band = any(
+                ((pa >> (b * 16)) & 0xFFFF) == ((pb >> (b * 16)) & 0xFFFF) for b in range(4)
+            )
+            dist = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if shares_band and dist <= 6:
+                lo, hi = sorted([id_a, id_b])
+                pair_rows.append(f"('{lo}', '{hi}')")
+    pairs = ", ".join(pair_rows) if pair_rows else "(NULL, NULL)"
+    return f"""
+WITH RECURSIVE nodes(image_id) AS (VALUES {nodes}),
+pairs(a, b) AS (VALUES {pairs}),
+edges AS (SELECT a AS s, b AS t FROM pairs WHERE a IS NOT NULL
+          UNION SELECT b, a FROM pairs WHERE a IS NOT NULL),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+comp AS (SELECT s AS image_id, min(t) AS mr FROM reach GROUP BY s)
+SELECT n.image_id AS image_id,
+       least(n.image_id, coalesce(c.mr, n.image_id)) AS cluster_id,
+       n.image_id = least(n.image_id, coalesce(c.mr, n.image_id)) AS is_canonical
+FROM nodes n LEFT JOIN comp c ON c.image_id = n.image_id
+ORDER BY n.image_id"""
+
+
 def q_frontier_crawl(spark, sf_dir):
     """Full crawl on the deterministic fixture world; the oracle is the
     pure-Python scheduler replay — byte-for-byte ordering equality."""
@@ -1533,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhtml_anomalies": q_mhtml_anomalies,
         "mhtml_pages": q_mhtml_pages,
         "image_phash_neardup": q_image_phash_neardup,
+        "image_dedup_clusters": q_image_dedup_clusters,
         "frontier_crawl": q_frontier_crawl,
         "frontier_stream": q_frontier_stream,
         "media_features": q_media_features,
@@ -1795,6 +1838,7 @@ ORDER BY vec_a, vec_b""",
         "mhtml_anomalies": _mhtml_anomalies_values(),
         "mhtml_pages": _mhtml_pages_values(),
         "image_phash_neardup": _phash_neardup_values(),
+        "image_dedup_clusters": _image_clusters_oracle(),
         "frontier_crawl": _frontier_values(),
         # the streaming gate must reproduce the SAME ordering oracle
         "frontier_stream": _frontier_values(),

@@ -249,48 +249,12 @@ def dedup_clusters(
     (every doc gets ``cluster_id`` = the smallest doc_id reachable
     through candidate pairs; keep one doc per cluster downstream).
 
-    Iterative min-label propagation: each round every doc takes the
-    min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds (duplicate clusters are shallow —
-    near-cliques — so typically 2-3). Each iteration is one shuffle
-    join + map-side min agg; labels are localCheckpointed so lineage
-    stays one round deep (the same driver-fixpoint discipline as the
-    crawl). At 10^10 docs this is the standard large-scale CC shape
-    (label propagation, not a driver-side union-find)."""
+    The propagation loop is :func:`operators.graph.min_label_components`
+    (shared with image phash clustering)."""
+    from .graph import min_label_components
+
     pairs = minhash_lsh_pairs(docs, k, band_size).localCheckpoint(eager=True)
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return min_label_components(
+        nodes, pairs, id_col="doc_id", a_col="doc_a", b_col="doc_b", max_iter=max_iter
+    ).orderBy("doc_id")

@@ -323,3 +323,26 @@ def ann_recall(
     return spark.createDataFrame(
         rows, "method string, query_id long, recall double"
     ).orderBy("method", "query_id")
+
+
+def image_dedup_clusters(
+    images: DataFrame, max_distance: int = 6, max_iter: int = 25
+) -> DataFrame:
+    """(image_id, cluster_id, is_canonical): perceptual-hash duplicate
+    clusters over an image table — connected components (shared
+    min-label propagation, :mod:`operators.graph`) over the banded-
+    Hamming candidate graph of :func:`phash_neardup`; cluster_id = the
+    lexicographically smallest member, which is also the canonical
+    keep-one representative."""
+    from .graph import min_label_components
+
+    pairs = phash_neardup(images, max_distance).select("img_a", "img_b")
+    comp = min_label_components(
+        images.select("image_id"), pairs, id_col="image_id",
+        a_col="img_a", b_col="img_b", max_iter=max_iter,
+    )
+    return comp.select(
+        "image_id",
+        "cluster_id",
+        (F.col("image_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -107,3 +107,25 @@ def test_ivf_trained_full_probe_equals_brute_force(spark):
     got = [(r["vec_id"], r["cosine"]) for r in full.collect()]
     want = [(r["vec_id"], r["cosine"]) for r in brute.collect()]
     assert got == want
+
+
+@pytest.mark.spark
+def test_image_dedup_clusters_transitive(spark):
+    """A chain a~b, b~c (a!~c directly) must land in ONE cluster with
+    the lexicographically smallest member canonical."""
+    from mhtml_to_html_spark.operators.similarity import image_dedup_clusters
+
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b111),          # 3 bits from a
+        ("c", base ^ 0b111111),       # 6 bits from a, 3 from b
+        ("z", ~base & ((1 << 63) - 1)),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {r["image_id"]: (r["cluster_id"], r["is_canonical"]) for r in
+           image_dedup_clusters(df, max_distance=3).collect()}
+    assert got["a"] == ("a", True)
+    assert got["b"] == ("a", False)
+    assert got["c"] == ("a", False)   # reachable only through b
+    assert got["z"] == ("z", True)
