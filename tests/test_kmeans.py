@@ -129,3 +129,31 @@ def test_image_dedup_clusters_transitive(spark):
     assert got["b"] == ("a", False)
     assert got["c"] == ("a", False)   # reachable only through b
     assert got["z"] == ("z", True)
+
+
+@pytest.mark.spark
+def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
+    """The materialized IVF index: (a) queries over the written index
+    return EXACTLY what the in-memory trained IVF returns, and (b) the
+    probe filter reaches the scan as a PartitionFilter — the physical
+    read is n_probe/n_cells of the files, not a post-scan filter."""
+    from mhtml_to_html_spark.operators.kmeans import (
+        ivf_query,
+        ivf_topk_trained,
+        write_ivf_index,
+    )
+
+    from test_plans import plan_of
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_cells=4, n_iter=2)
+
+    qv = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    got = ivf_query(spark, path, qv, k=10, n_probe=2, exclude_vec_id=0)
+    want = ivf_topk_trained(emb, 0, 10, n_cells=4, n_iter=2, n_probe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    plan = plan_of(ivf_query(spark, path, qv, k=10, n_probe=2))
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines and any("cell" in ln for ln in scan_lines), plan[:2000]
