@@ -760,6 +760,22 @@ FROM nodes n LEFT JOIN comp c ON c.image_id = n.image_id
 ORDER BY n.image_id"""
 
 
+def q_frontier_recrawl_plan(spark, sf_dir):
+    """Recrawl scheduler over a deterministic seen table derived from
+    the documents keys (host = doc_id % 20, staleness = doc_id % 5)."""
+    from mhtml_to_html_spark.frontier.spark_frontier import plan_recrawl
+
+    docs = _load(spark, sf_dir, "documents")
+    seen = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example.com/p/"), F.col("doc_id").cast("string")).alias("key"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        (F.col("doc_id") % 5).cast("long").alias("fetched_round"),
+    )
+    return plan_recrawl(seen, host_budget=3).orderBy("host", "rk")
+
+
 def q_frontier_crawl(spark, sf_dir):
     """Full crawl on the deterministic fixture world; the oracle is the
     pure-Python scheduler replay — byte-for-byte ordering equality."""
@@ -1577,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "image_dedup_clusters": q_image_dedup_clusters,
         "frontier_crawl": q_frontier_crawl,
+        "frontier_recrawl_plan": q_frontier_recrawl_plan,
         "frontier_stream": q_frontier_stream,
         "media_features": q_media_features,
         "stream_windowed": q_stream_windowed,
@@ -1838,6 +1855,20 @@ ORDER BY vec_a, vec_b""",
         "mhtml_anomalies": _mhtml_anomalies_values(),
         "mhtml_pages": _mhtml_pages_values(),
         "image_phash_neardup": _phash_neardup_values(),
+        "frontier_recrawl_plan": """
+WITH seen AS (
+  SELECT 'https://h' || (doc_id % 20) || '.example.com/p/' || doc_id AS key,
+         'h' || (doc_id % 20) || '.example.com' AS host,
+         CAST(doc_id % 5 AS BIGINT) AS fetched_round
+  FROM documents),
+now_r AS (SELECT max(fetched_round) + 1 AS now FROM seen),
+ranked AS (
+  SELECT key, host, fetched_round,
+         CAST(n.now - fetched_round AS BIGINT) AS age,
+         row_number() OVER (PARTITION BY host ORDER BY fetched_round, key) AS rk
+  FROM seen CROSS JOIN now_r n)
+SELECT key, host, fetched_round, age, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "image_dedup_clusters": _image_clusters_oracle(),
         "frontier_crawl": _frontier_values(),
         # the streaming gate must reproduce the SAME ordering oracle

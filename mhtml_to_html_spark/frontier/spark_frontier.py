@@ -696,3 +696,33 @@ def crawl_spark(
         if use_robots:
             result.blocked = {r["key"] for r in blocked.select("key").collect()}
     return result
+
+
+def plan_recrawl(
+    seen: DataFrame, host_budget: int = 3, current_round: int | None = None
+) -> DataFrame:
+    """Recrawl manifest: given the seen table (key, host,
+    fetched_round), pick each host's ``host_budget`` stalest pages for
+    revisit — (key, host, fetched_round, age, rk) ordered oldest-first
+    per host, ties by key (reference fetch order is deterministic;
+    revisit order must be too).
+
+    Shape at scale: one hash-partitioned per-host window whose rank
+    filter Spark rewrites to a per-partition top-N (window group
+    limit) — no host's full history is sorted beyond the budget, and
+    there is no global sort anywhere. ``current_round`` defaults to
+    max(fetched_round)+1 computed as a broadcast scalar."""
+    from pyspark.sql import Window
+
+    if current_round is None:
+        now = seen.agg((F.max("fetched_round") + 1).alias("_now"))
+        aged = seen.crossJoin(F.broadcast(now))
+    else:
+        aged = seen.withColumn("_now", F.lit(int(current_round)))
+    w = Window.partitionBy("host").orderBy(F.col("fetched_round").asc(), F.col("key").asc())
+    return (
+        aged.withColumn("age", (F.col("_now") - F.col("fetched_round")).cast("long"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= host_budget)
+        .select("key", "host", F.col("fetched_round").cast("long").alias("fetched_round"), "age", "rk")
+    )

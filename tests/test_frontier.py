@@ -205,3 +205,31 @@ def test_saturated_filters_never_drop_urls(spark, oracle_result):
     assert res.order == oracle_result.order
     assert res.seen == oracle_result.seen
     assert res.failed == oracle_result.failed
+
+
+@pytest.mark.spark
+def test_plan_recrawl_budget_and_staleness(spark):
+    """Recrawl planner: per-host budget respected, stalest first,
+    deterministic tie-break, and the rank filter plans as a window
+    group limit (per-partition top-N, no full per-host sort)."""
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.frontier.spark_frontier import plan_recrawl
+    from test_plans import plan_of
+
+    rows = [
+        (f"https://a.example.com/{i}", "a.example.com", i % 3) for i in range(9)
+    ] + [("https://b.example.com/0", "b.example.com", 7)]
+    seen = spark.createDataFrame(rows, "key string, host string, fetched_round long")
+    got = plan_recrawl(seen, host_budget=2).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["a.example.com"]) == 2
+    assert len(by_host["b.example.com"]) == 1
+    # stalest (round 0) first for host a, tie by key: /0 then /3
+    a = sorted(by_host["a.example.com"], key=lambda r: r["rk"])
+    assert [r["key"] for r in a] == ["https://a.example.com/0", "https://a.example.com/3"]
+    assert a[0]["age"] == 8  # now = max(7)+1, fetched_round 0
+    plan = plan_of(plan_recrawl(seen, host_budget=2))
+    assert "WindowGroupLimit" in plan
