@@ -104,3 +104,49 @@ def test_body_bytes_round_trip_through_archive(body):
     result = parse_mhtml(raw)
     part = next(p for p in result.parts if p.content_location == "https://e/x")
     assert part.data == body
+
+
+@given(
+    st.lists(st.floats(min_value=0.01, max_value=1.0), min_size=2, max_size=6),
+    st.integers(min_value=0, max_value=10**12),
+)
+def test_hash_split_bounds_partition_every_key(weights, doc_id):
+    """split_bounds + the md5-prefix rule always assign exactly one
+    split, bounds are strictly increasing 4-hex strings, and the last
+    split catches everything at/above the top bound."""
+    import hashlib
+
+    from mhtml_to_html_spark.operators.pipeline import split_bounds
+
+    total = sum(weights)
+    splits = tuple((f"s{i}", w / total) for i, w in enumerate(weights))
+    bounds = split_bounds(splits)
+    assert len(bounds) == len(splits) - 1
+    hexes = [b for _, b in bounds]
+    assert hexes == sorted(hexes)
+    assert all(len(h) == 4 and h == h.lower() for h in hexes)
+    h4 = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:4]
+    assigned = next((name for name, b in bounds if h4 < b), splits[-1][0])
+    assert assigned in {name for name, _ in splits}
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=50, deadline=None)
+def test_host_seen_never_false_negative(keys, graduate_after):
+    """HostSeen (exact or Bloom-graduated at ANY threshold): every
+    added key always reads back as seen — graduation may add false
+    positives, never false negatives — and the state round-trips."""
+    from mhtml_to_html_spark.streaming.frontier import HostSeen
+
+    s = HostSeen(graduate_after=graduate_after, bloom_bits=1 << 12)
+    for k in keys:
+        s.add(k)
+    assert all(k in s for k in keys)
+    exact, total, blob = s.state_tuple(0)
+    s2 = HostSeen(
+        {v & 0xFFFFFFFFFFFFFFFF for v in exact}, blob, graduate_after, bloom_bits=1 << 12
+    )
+    assert all(k in s2 for k in keys)
