@@ -1742,14 +1742,14 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY lang ORDER BY lang""",
         "events_sessionize": """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sids AS (
   SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged)
 SELECT CAST(user_id AS BIGINT) AS user_id,
        min(ts) AS session_start, max(ts) AS session_end,

@@ -60,12 +60,7 @@ def main(argv: list[str] | None = None, fetch=None) -> int:
     from mhtml_to_html_spark.operators.pages import convert_archives
     from mhtml_to_html_spark.sources.corpus import read_archives
 
-    df = read_archives(spark, ",".join(args.inputs) if len(args.inputs) == 1 else args.inputs[0])
-    if len(args.inputs) > 1:
-        frames = [read_archives(spark, path) for path in args.inputs]
-        df = frames[0]
-        for extra in frames[1:]:
-            df = df.unionByName(extra)
+    df = read_archives(spark, args.inputs if len(args.inputs) > 1 else args.inputs[0])
 
     pages = convert_archives(
         df,
@@ -74,7 +69,25 @@ def main(argv: list[str] | None = None, fetch=None) -> int:
         fetch=fetch,
     ).collect()
     failures = 0
-    single_output = args.output if len(pages) == 1 and args.output and not os.path.isdir(args.output) else None
+    # --output parity (mod.js:46-48,63-66): honored only for a single
+    # non-glob input, and gets ".html" appended when missing; with
+    # multiple inputs the reference ignores it — we extend that case to
+    # "write into it if it is a directory" and warn otherwise.
+    single_input = len(args.inputs) == 1 and not any(c in args.inputs[0] for c in "*?[{")
+    single_output = None
+    out_dir_opt = None
+    if args.output:
+        if single_input and not os.path.isdir(args.output):
+            single_output = args.output
+            if not single_output.endswith(".html"):
+                single_output += ".html"
+        elif os.path.isdir(args.output):
+            out_dir_opt = args.output
+        else:
+            print(
+                f"--output {args.output} ignored: multiple inputs and not a directory",
+                file=sys.stderr,
+            )
     for row in pages:
         src_path = row["archive_id"].replace("file:", "")
         if row["error"] is not None:
@@ -85,7 +98,7 @@ def main(argv: list[str] | None = None, fetch=None) -> int:
             out_path = single_output
         else:
             base = os.path.splitext(os.path.basename(src_path))[0] + ".html"
-            out_dir = args.output if args.output else os.path.dirname(src_path)
+            out_dir = out_dir_opt if out_dir_opt else os.path.dirname(src_path)
             out_path = os.path.join(out_dir, base)
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w", encoding="utf-8") as f:

@@ -316,6 +316,7 @@ def crawl_spark(
     seen_bloom_bits: int = 1 << 18,
     seen_cuckoo_buckets: int = 1 << 13,
     probe_threshold: int = 20_000,
+    robots_broadcast_threshold: int = 100_000,
     verbose: bool = False,
 ) -> SparkCrawlResult:
     """Run the crawl to fixpoint (or ``max_rounds``); optionally
@@ -442,8 +443,14 @@ def crawl_spark(
 
         # 3b. robots gate: the cache table grows by the round's newly
         #     met hosts ('fetched' via the deterministic double), then a
-        #     broadcast join classifies candidates; disallowed URLs go
-        #     to the permanent blocked set
+        #     join classifies candidates; disallowed URLs go to the
+        #     permanent blocked set. The cache grows with every host
+        #     ever met, so the join is ADAPTIVE like the index/range
+        #     steps: broadcast while the cache is small, plain hash
+        #     join on `host` once it passes the threshold (at 10^7-10^8
+        #     hosts a forced broadcast is a multi-GB executor OOM; the
+        #     hash join's exchange is then reused by the step-5
+        #     politeness window, which partitions by host anyway).
         n_blocked = 0
         newly_blocked = None
         if use_robots:
@@ -454,7 +461,11 @@ def crawl_spark(
                 _robots_batches, schema="host string, disallow string, crawl_delay_level int"
             )
             robots_cache = robots_cache.unionByName(fetched_rules).localCheckpoint(eager=True)
-            with_rules = candidates.join(F.broadcast(robots_cache), "host", "left")
+            if robots_cache.count() <= robots_broadcast_threshold:
+                robots_side = F.broadcast(robots_cache)
+            else:
+                robots_side = robots_cache
+            with_rules = candidates.join(robots_side, "host", "left")
             path = F.regexp_replace(F.col("key"), "^[a-zA-Z]+://[^/]+", "")
             allowed = F.col("disallow").isNull() | ~path.startswith(F.col("disallow"))
             with_rules = with_rules.withColumn("allowed", allowed).localCheckpoint(eager=True)

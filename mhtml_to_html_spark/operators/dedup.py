@@ -25,6 +25,21 @@ MINHASH_K = 12
 MINHASH_BAND_SIZE = 2
 
 
+def _spread_small(docs: DataFrame) -> DataFrame:
+    """Spread a few-split input across the cluster ONLY when the scan
+    under-partitioned it (a toy parquet arrives as one split, so the
+    per-token hash work would run on one core). At real scale the scan
+    already yields splits sized by spark.sql.files.maxPartitionBytes
+    and this is a no-op — an unconditional repartition here would be a
+    gratuitous full round-robin shuffle of the corpus text before any
+    hashing (the round-2 simhash/minhash bench regressions)."""
+    spark = docs.sparkSession
+    n_par = max(spark.sparkContext.defaultParallelism, 4)
+    if docs.rdd.getNumPartitions() >= n_par:
+        return docs
+    return docs.repartition(n_par)
+
+
 def shingles_col(n: int = 3):
     """Distinct word n-gram shingles of the lower-cased text.
 
@@ -65,13 +80,7 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     otherwise inline the whole shingle expression k times, and the
     map-side combine means only k hashes per doc reach the shuffle.
     """
-    # a small parquet arrives as ONE split; spread the docs first so the
-    # k·|shingles| hash work parallelizes (at 100 TB the scan itself
-    # provides the splits and this repartition collapses into a no-op
-    # narrow exchange of small rows)
-    spark = docs.sparkSession
-    n_par = max(spark.sparkContext.defaultParallelism, 4)
-    sh = docs.repartition(n_par).select(
+    sh = _spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(shingles_col()).alias("shingle")
     )
     return sh.groupBy("doc_id").agg(
@@ -207,9 +216,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens: per-token 16-bit value from the
     first 4 hex chars of md5(token); signature bit b = sign of the sum
     of (2*bit_b - 1) over tokens. Portable bit arithmetic (div/mod)."""
-    spark = docs.sparkSession
-    n_par = max(spark.sparkContext.defaultParallelism, 4)
-    tok = docs.repartition(n_par).select(
+    tok = _spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens_col()).alias("tok")
     )
     v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")

@@ -3,13 +3,13 @@ centroid-training stage for IVF ANN (``similarity.ivf_topk`` consumes
 centroids; this is where they come from).
 
 Shape at scale, per iteration:
-- centroids are k rows — they BROADCAST; the n×k distance evaluation is
-  a map-only crossJoin with no shuffle of the big side;
-- the argmin per vector is ``min(struct(dist, cid))`` — a partial
-  aggregation (combiner halves the shuffle), never a window sort;
-- the new means are one partial-aggregating groupBy(cid) with one
-  ``avg`` column per dimension — k×dim numbers reach the driver, not
-  vectors;
+- centroids are a driver-held k×dim matrix inlined as array literals,
+  so assignment is one NARROW projection (array_min over k
+  (dist, cid) structs) — no crossJoin, no shuffle, no groupBy keyed on
+  the embedding array;
+- the new means are one partial-aggregating groupBy(cid, pos) over
+  posexploded dimensions — k×dim numbers reach the driver, not
+  vectors, and the agg is flat in dim (never dim agg columns);
 - the driver holds ONLY the k×dim centroid matrix between iterations
   (the classic Lloyd's-on-MapReduce shape) — never vector rows.
 
@@ -28,28 +28,31 @@ from pyspark.sql import functions as F
 
 def _assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, embedding, cid): nearest centroid per vector (squared
-    L2, left-to-right accumulation, ties to the lowest cid)."""
-    spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "c",
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        embeddings.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cdf))
-        .withColumn("dist", dist)
-        .groupBy("vec_id", "embedding")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"))
-        .select("vec_id", "embedding", F.col("m.cid").alias("cid"))
-    )
+    L2, left-to-right accumulation, ties to the lowest cid).
+
+    Shape: the centroid matrix is DRIVER-HELD (k×dim floats), so the
+    argmin is one narrow projection — each centroid becomes an array
+    literal, the k distances an array of structs, ``array_min`` the
+    (dist, cid) tie-broken argmin. No crossJoin, no shuffle, and no
+    groupBy keyed on the raw embedding array (the round-2 high-dim
+    caution): assignment is map-only at any n."""
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_min(F.array(*dists))
+    return embeddings.select("vec_id", "embedding", best["cid"].alias("cid"))
 
 
 def lloyd(embeddings: DataFrame, k: int = 4, n_iter: int = 2):
@@ -59,24 +62,33 @@ def lloyd(embeddings: DataFrame, k: int = 4, n_iter: int = 2):
     and the rule the oracle replays)."""
     dim = len(embeddings.select("embedding").first()["embedding"])
     init_rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} > n_vectors={len(init_rows)}")
     centroids = [[round(float(v), 6) for v in r["embedding"]] for r in init_rows]
 
     sizes = {i: 0 for i in range(k)}
     for _ in range(n_iter):
         assigned = _assign(embeddings, centroids)
-        stats = assigned.groupBy("cid").agg(
-            F.count("*").alias("size"),
-            *[
-                F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 6).alias(
-                    f"c{i}"
-                )
-                for i in range(dim)
-            ],
-        ).collect()
-        by_cid = {r["cid"]: r for r in stats}
-        sizes = {i: (by_cid[i]["size"] if i in by_cid else 0) for i in range(k)}
+        # mean update over EXPLODED (cid, pos) rows — k×dim result rows
+        # with a map-side partial agg, instead of one avg column per
+        # dimension (codegen blows past a few hundred agg columns; this
+        # shape is flat in dim). Sizes ride along as count/ dim.
+        stats = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(F.avg(F.col("v").cast("double")), 6).alias("mean"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        sizes = {i: 0 for i in range(k)}
+        for r in stats:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = float(r["mean"])
+            sizes[r["cid"]] = int(r["n"])
         centroids = [
-            [float(by_cid[i][f"c{j}"]) for j in range(dim)] if i in by_cid else centroids[i]
+            [by_cid[i][j] for j in range(dim)] if i in by_cid else centroids[i]
             for i in range(k)
         ]
     return centroids, sizes

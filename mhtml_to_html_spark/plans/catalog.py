@@ -106,6 +106,27 @@ class SnapshotCatalog:
         path = entry.get("path") or os.path.join(self._snap_dir(snapshot_id), name)
         return spark.read.parquet(path)
 
+    def _carry_parent_refs(
+        self, snapshot_id: int, parent: dict[str, Any], exclude: str
+    ) -> None:
+        """Carry the parent snapshot's unchanged sibling tables into the
+        new manifest as REFERENCES to the parent's data files (Iceberg's
+        unchanged-manifest reuse) — only the rewritten table gets new
+        files."""
+        man = self.manifest(snapshot_id)
+        changed = False
+        for other, entry in parent["tables"].items():
+            if other == exclude or other in man["tables"]:
+                continue
+            path = entry.get("path") or os.path.join(
+                self._snap_dir(parent["snapshot_id"]), other
+            )
+            man["tables"][other] = {**entry, "path": path}
+            changed = True
+        if changed:
+            with open(os.path.join(self._snap_dir(snapshot_id), "manifest.json"), "w") as f:
+                json.dump(man, f, indent=1, sort_keys=True)
+
     # -- maintenance ---------------------------------------------------------
 
     def compact_table(
@@ -128,19 +149,7 @@ class SnapshotCatalog:
         snapshot_id = self.write_snapshot(
             {name: df}, metrics={**(metrics or {}), "compacted": name}
         )
-        man = self.manifest(snapshot_id)
-        changed = False
-        for other, entry in parent["tables"].items():
-            if other == name or other in man["tables"]:
-                continue
-            path = entry.get("path") or os.path.join(
-                self._snap_dir(parent["snapshot_id"]), other
-            )
-            man["tables"][other] = {**entry, "path": path}
-            changed = True
-        if changed:
-            with open(os.path.join(self._snap_dir(snapshot_id), "manifest.json"), "w") as f:
-                json.dump(man, f, indent=1, sort_keys=True)
+        self._carry_parent_refs(snapshot_id, parent, exclude=name)
         return snapshot_id
 
     # -- merge ---------------------------------------------------------------
@@ -173,6 +182,17 @@ class SnapshotCatalog:
         driver loop."""
         import pyspark.sql.functions as F
 
+        # real MERGE INTO errors when one target row matches several
+        # update rows; mirror that contract up front (one agg, two longs)
+        ucounts = updates.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("d"),
+        ).collect()[0]
+        if int(ucounts["n"]) != int(ucounts["d"]):
+            raise ValueError(
+                f"updates batch is not key-unique on {key_cols}: "
+                f"{int(ucounts['n'])} rows, {int(ucounts['d'])} distinct keys"
+            )
         parent = self.latest()
         if parent is not None and name in parent["tables"]:
             base = self.load_table(spark, parent["snapshot_id"], name)
@@ -192,17 +212,5 @@ class SnapshotCatalog:
             merged = updates
         snapshot_id = self.write_snapshot({name: merged}, metrics=metrics, round_idx=round_idx)
         if parent is not None:
-            man = self.manifest(snapshot_id)
-            changed = False
-            for other, entry in parent["tables"].items():
-                if other == name or other in man["tables"]:
-                    continue
-                path = entry.get("path") or os.path.join(
-                    self._snap_dir(parent["snapshot_id"]), other
-                )
-                man["tables"][other] = {**entry, "path": path}
-                changed = True
-            if changed:
-                with open(os.path.join(self._snap_dir(snapshot_id), "manifest.json"), "w") as f:
-                    json.dump(man, f, indent=1, sort_keys=True)
+            self._carry_parent_refs(snapshot_id, parent, exclude=name)
         return snapshot_id

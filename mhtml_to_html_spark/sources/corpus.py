@@ -200,9 +200,10 @@ def images_df(spark, n_archives: int, images_per_archive: int = 3, partitions: i
     return idx.mapInPandas(build, schema=_IMAGES_SCHEMA)
 
 
-def read_archives(spark, path: str):
+def read_archives(spark, path):
     """Scan .mht files on disk: one row per archive, bytes untouched.
-    (S1/S2: Spark binaryFile source; globs are native.)"""
+    (S1/S2: Spark binaryFile source; globs are native; ``path`` may be
+    one path/glob or a list of them — one multi-path scan, no unions.)"""
     df = spark.read.format("binaryFile").load(path)
     return df.selectExpr(
         "path as archive_id", "content", "'file' as case_family", "null as eol"

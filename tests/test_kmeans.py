@@ -66,15 +66,19 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
 
 
 @pytest.mark.spark
-def test_kmeans_assignment_plan_broadcasts_centroids(spark):
+def test_kmeans_assignment_plan_is_narrow(spark):
+    """Assignment against a driver-held centroid matrix must be one
+    map-only projection: no join of any kind, no Exchange, no agg —
+    the k distances are inlined array literals and the argmin is
+    array_min over (dist, cid) structs."""
     from mhtml_to_html_spark.operators.kmeans import _assign
 
     from test_plans import plan_of
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = plan_of(_assign(emb, [[0.0] * 64, [1.0] * 64]))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for op in ("Join", "Exchange", "Aggregate", "CartesianProduct", "Window"):
+        assert op not in plan, f"{op} in assignment plan"
 
 
 @pytest.mark.spark
