@@ -799,6 +799,39 @@ def q_frontier_crawl(spark, sf_dir):
     )
 
 
+_RECRAWL_SEEDS = [
+    "https://host0.example.com/seed/12",
+    "https://host0.example.com/seed/16",
+]
+_RECRAWL_KW = dict(
+    max_rounds=10, host_budget=50, fanout=1, n_hosts=1, recrawl_budget=2, max_recrawls=2
+)
+
+
+def q_frontier_recrawl_crawl(spark, sf_dir):
+    """Crawl WITH recrawl injection: the frontier drains, the stalest
+    seen pages per host re-enter (seen-set deletion via counting-Bloom
+    decrement + cuckoo delete), and the refetch ordering must match the
+    pure-Python oracle byte-for-byte — including the recrawl rounds."""
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    res = crawl_spark(spark, _RECRAWL_SEEDS, **_RECRAWL_KW)
+    rows = [
+        (o["round"], o["pos"], o["url"], o["depth"], o["status"], o["attempts"])
+        for o in res.order
+    ]
+    return spark.createDataFrame(
+        rows, "round int, pos long, url string, depth int, status string, attempts int"
+    ).selectExpr(
+        "cast(round as bigint) round",
+        "pos",
+        "url",
+        "cast(depth as bigint) depth",
+        "status",
+        "cast(attempts as bigint) attempts",
+    )
+
+
 def _media_corpus_rows():
     """Deterministic multimodal corpus: real WAV + Y4M + image bytes."""
     from mhtml_to_html_spark.images.synth import encode_image, synth_image
@@ -1337,6 +1370,34 @@ def _sql_quote(value) -> str:
     return "'" + str(value).replace("'", "''") + "'"
 
 
+def _frontier_recrawl_values() -> str:
+    from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+
+    oracle = crawl_oracle(_RECRAWL_SEEDS, **_RECRAWL_KW)
+    rows = [
+        {
+            "round": o["round"],
+            "pos": o["pos"],
+            "url": o["url"],
+            "depth": o["depth"],
+            "status": o["status"],
+            "attempts": o["attempts"],
+        }
+        for o in oracle.order
+    ]
+    return _values_oracle(
+        rows,
+        {
+            "round": "BIGINT",
+            "pos": "BIGINT",
+            "url": "VARCHAR",
+            "depth": "BIGINT",
+            "status": "VARCHAR",
+            "attempts": "BIGINT",
+        },
+    ) + " ORDER BY round, pos"
+
+
 def _values_oracle(rows: list[dict], types: dict[str, str]) -> str:
     cols = list(types)
     tuples = ",\n".join(
@@ -1594,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_clusters": q_image_dedup_clusters,
         "frontier_crawl": q_frontier_crawl,
         "frontier_recrawl_plan": q_frontier_recrawl_plan,
+        "frontier_recrawl_crawl": q_frontier_recrawl_crawl,
         "frontier_stream": q_frontier_stream,
         "media_features": q_media_features,
         "stream_windowed": q_stream_windowed,
@@ -1871,6 +1933,7 @@ SELECT key, host, fetched_round, age, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "image_dedup_clusters": _image_clusters_oracle(),
         "frontier_crawl": _frontier_values(),
+        "frontier_recrawl_crawl": _frontier_recrawl_values(),
         # the streaming gate must reproduce the SAME ordering oracle
         "frontier_stream": _frontier_values(),
         "media_features": _media_features_values(),

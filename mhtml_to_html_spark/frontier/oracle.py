@@ -18,7 +18,15 @@ north_rule:
   round units);
 - retries: transient = 429/5xx/throw; exponential 500·2^n capped 5s;
   Retry-After honored, > cap ⇒ immediate give-up; max 2 retries (F4);
-- failures enter a deny-list and are never re-attempted (F5).
+- failures enter a deny-list and are never re-attempted (F5);
+- recrawl (optional, ``recrawl_budget > 0``): when the frontier drains
+  with rounds left, each host's ``recrawl_budget`` stalest seen pages
+  (oldest ``fetched_round`` first, ties by key) re-enter the frontier
+  at depth 0 with fresh discovery sequence numbers assigned in
+  (host asc, rank asc) order; the revisited keys are REMOVED from the
+  seen set first (the counting-Bloom/cuckoo hybrid supports deletion —
+  this is why the Bloom counts), so the normal exactly-once machinery
+  re-admits exactly them. At most ``max_recrawls`` injections.
 
 The Spark frontier must reproduce ``order`` (the fetch sequence),
 ``seen`` and ``failed`` exactly.
@@ -45,6 +53,7 @@ class CrawlResult:
     failed: set[str] = field(default_factory=set)
     blocked: set[str] = field(default_factory=set)  # robots-disallowed
     metrics: list[dict] = field(default_factory=list)  # per round
+    seen_rounds: dict = field(default_factory=dict)  # key -> round fetched ok
 
 
 def crawl_oracle(
@@ -55,6 +64,8 @@ def crawl_oracle(
     fanout: int = 3,
     n_hosts: int = 7,
     use_robots: bool = False,
+    recrawl_budget: int = 0,
+    max_recrawls: int = 1,
 ) -> CrawlResult:
     result = CrawlResult()
     # frontier rows: (url, depth, disc_seq) — disc_seq is the global
@@ -66,7 +77,29 @@ def crawl_oracle(
             frontier.append((unwrap_urn(url), 0, disc))
             disc += 1
 
+    recrawls_done = 0
     for round_idx in range(max_rounds):
+        n_recrawled = 0
+        if not frontier and recrawl_budget > 0 and recrawls_done < max_recrawls:
+            # revisit manifest: per host, the stalest seen pages
+            # (fetched_round asc, key asc), rank <= budget; re-enqueued
+            # at depth 0 with disc_seq assigned in (host, rank) order
+            by_host: dict[str, list[str]] = {}
+            for key in result.seen:
+                by_host.setdefault(url_host(key) or "", []).append(key)
+            revisits: list[str] = []
+            for host in sorted(by_host):
+                ranked = sorted(
+                    by_host[host], key=lambda k: (result.seen_rounds[k], k)
+                )[:recrawl_budget]
+                revisits.extend(ranked)
+            for key in revisits:
+                result.seen.discard(key)
+                del result.seen_rounds[key]
+                frontier.append((key, 0, disc))
+                disc += 1
+            n_recrawled = len(revisits)
+            recrawls_done += 1
         if not frontier:
             break
         # within-round first-discovery dedup on the canonical key,
@@ -90,6 +123,12 @@ def crawl_oracle(
                 continue
             in_round.add(key)
             candidates.append((key, url, depth, seq))
+        if not candidates:
+            # every frontier row deduped away (all seen/failed/blocked):
+            # a zero-fetch round — no metrics row; the next iteration
+            # either injects a recrawl or terminates
+            frontier = []
+            continue
         # priority order: (depth, host_rank, discovery_seq)
         candidates.sort(key=lambda c: (c[2], host_rank(url_host(c[0]) or ""), c[3]))
         # politeness: first `host_budget` per host fetch this round
@@ -124,6 +163,7 @@ def crawl_oracle(
             )
             if status == "ok":
                 result.seen.add(key)
+                result.seen_rounds[key] = round_idx
                 n_ok += 1
                 for child in children_of(key, fanout, n_hosts):
                     if is_fetchable(child):
@@ -142,6 +182,7 @@ def crawl_oracle(
                 "deferred": len(deferred),
                 "blocked": blocked_this_round,
                 "virtual_delay_ms": total_delay,
+                "recrawled": n_recrawled,
             }
         )
         frontier = deferred + discovered

@@ -59,9 +59,10 @@ _CANON_SCHEMA = (
     "url string, depth int, disc_seq long, key string, host string, host_rank int, h64 long"
 )
 _FETCH_SCHEMA = (
-    "key string, depth int, disc_seq long, pos long, status string, attempts int, "
-    "delay_ms long, h64 long"
+    "key string, host string, depth int, disc_seq long, pos long, status string, "
+    "attempts int, delay_ms long, h64 long"
 )
+_SEEN_SCHEMA = "key string, h64 long, host string, fetched_round int"
 _CHILD_SCHEMA = "parent_pos long, child_idx int, url string, depth int"
 _SHARD_BLOB_SCHEMA = "shard int, bloom binary, cuckoo binary"
 
@@ -188,6 +189,44 @@ def seenset_probe(candidates: DataFrame, seenset_df: DataFrame, n_shards: int) -
     )
 
 
+def _seenset_remove_fn():
+    """Cogroup(shard): (blob row | ∅) × (h64 rows to delete) → updated
+    blob row. Deletion is WHY the Bloom side counts: a plain bitset
+    Bloom cannot forget, a counting one decrements; the cuckoo filter
+    deletes its fingerprint. Recrawl uses this to re-admit exactly the
+    revisited keys through the normal exactly-once machinery."""
+
+    def remove(key, blob_pdf, dels_pdf):
+        import pandas as pd
+
+        from .seenset import CountingBloom, CuckooFilter
+
+        if not len(blob_pdf):
+            return pd.DataFrame(columns=["shard", "bloom", "cuckoo"])
+        bloom = CountingBloom.from_bytes(bytes(blob_pdf["bloom"].iloc[0]))
+        cuckoo = CuckooFilter.from_bytes(bytes(blob_pdf["cuckoo"].iloc[0]))
+        for h in dels_pdf["h64"]:
+            h = int(h) & 0xFFFFFFFFFFFFFFFF
+            bloom.remove(h)
+            cuckoo.remove(h)
+        return pd.DataFrame(
+            [{"shard": int(key[0]), "bloom": bloom.to_bytes(), "cuckoo": cuckoo.to_bytes()}]
+        )
+
+    return remove
+
+
+def seenset_remove(seenset_df: DataFrame, dels: DataFrame, n_shards: int) -> DataFrame:
+    """Delete an ``h64`` column from the shard-blob table (lazy): same
+    co-partitioned cogroup shape as :func:`seenset_merge`."""
+    keyed = dels.select("h64").withColumn("shard", _shard_col(n_shards))
+    return (
+        seenset_df.groupby("shard")
+        .cogroup(keyed.groupby("shard"))
+        .applyInPandas(_seenset_remove_fn(), schema=_SHARD_BLOB_SCHEMA)
+    )
+
+
 def _robots_batches(batches):
     """Robots 'fetch' for newly met hosts → cache rows (deterministic
     double; production swaps in an HTTP robots.txt fetch)."""
@@ -233,7 +272,9 @@ def _fetch_batches(
 
     for pdf in batches:
         rows = []
-        for key, depth, disc_seq, pos in zip(pdf["key"], pdf["depth"], pdf["disc_seq"], pdf["pos"]):
+        for key, host, depth, disc_seq, pos in zip(
+            pdf["key"], pdf["host"], pdf["depth"], pdf["disc_seq"], pdf["pos"]
+        ):
             status, attempts, delay_ms = fetch_with_retries(key)
             h64 = url_hash64(key)
             if hold_ms:
@@ -247,6 +288,7 @@ def _fetch_batches(
             rows.append(
                 {
                     "key": key,
+                    "host": host,
                     "depth": int(depth),
                     "disc_seq": int(disc_seq),
                     "pos": int(pos),
@@ -259,7 +301,10 @@ def _fetch_batches(
             )
         yield pd.DataFrame(
             rows,
-            columns=["key", "depth", "disc_seq", "pos", "status", "attempts", "delay_ms", "h64"],
+            columns=[
+                "key", "host", "depth", "disc_seq", "pos", "status", "attempts",
+                "delay_ms", "h64",
+            ],
         )
 
 
@@ -317,6 +362,8 @@ def crawl_spark(
     seen_cuckoo_buckets: int = 1 << 13,
     probe_threshold: int = 20_000,
     robots_broadcast_threshold: int = 100_000,
+    recrawl_budget: int = 0,
+    max_recrawls: int = 1,
     verbose: bool = False,
 ) -> SparkCrawlResult:
     """Run the crawl to fixpoint (or ``max_rounds``); optionally
@@ -339,7 +386,10 @@ def crawl_spark(
     result = SparkCrawlResult()
     catalog = SnapshotCatalog(checkpoint_dir) if checkpoint_dir else None
 
-    empty_seen = spark.createDataFrame([], "key string, h64 long")
+    # seen carries (host, fetched_round) for the recrawl scheduler;
+    # failed/blocked are permanent deny-lists and stay (key, h64)
+    empty_seen = spark.createDataFrame([], _SEEN_SCHEMA)
+    empty_keys = spark.createDataFrame([], "key string, h64 long")
     start_round = 0
     disc_total = 0
 
@@ -353,6 +403,12 @@ def crawl_spark(
         snap = manifest["snapshot_id"]
         frontier = catalog.load_table(spark, snap, "frontier")
         seen = catalog.load_table(spark, snap, "seen")
+        # pre-recrawl snapshots lack (host, fetched_round): null-fill
+        # (additive schema evolution, same rule the catalog applies)
+        if "host" not in seen.columns:
+            seen = seen.withColumn("host", F.lit(None).cast("string"))
+        if "fetched_round" not in seen.columns:
+            seen = seen.withColumn("fetched_round", F.lit(None).cast("int"))
         failed = catalog.load_table(spark, snap, "failed")
         start_round = manifest["round"] + 1
         disc_total = manifest["metrics"]["disc_total"]
@@ -363,7 +419,7 @@ def crawl_spark(
             blocked = catalog.load_table(spark, snap, "blocked")
         else:
             robots_cache = empty_robots
-            blocked = empty_seen
+            blocked = empty_keys
         try:
             seenset_df = catalog.load_table(spark, snap, "seenset")
             seenset_loaded = True
@@ -377,18 +433,18 @@ def crawl_spark(
                 disc_total += 1
         frontier = spark.createDataFrame(rows, _FRONTIER_SCHEMA)
         seen = empty_seen
-        failed = empty_seen
+        failed = empty_keys
         order_acc = spark.createDataFrame(
             [], "round int, pos long, url string, depth int, status string, attempts int"
         )
         robots_cache = empty_robots
-        blocked = empty_seen
+        blocked = empty_keys
 
     have_seen = start_round > 0
     if have_seen and not seenset_loaded:
         # pre-seenset checkpoint: rebuild the hybrid distributed from
         # the exact key tables (one cogroup pass, one task per shard)
-        rebuilt_from = seen.unionByName(failed)
+        rebuilt_from = seen.select("key", "h64").unionByName(failed)
         if use_robots:
             rebuilt_from = rebuilt_from.unionByName(blocked)
         seenset_df = seenset_merge(
@@ -397,8 +453,66 @@ def crawl_spark(
     expected_frontier = frontier.count()
     seen_total = sum(m["fetched"] + m.get("blocked", 0) for m in result.metrics)
     n_par = max(spark.sparkContext.defaultParallelism, 4)
+    recrawls_done = 0
 
     for round_idx in range(start_round, max_rounds):
+        # 0. recrawl injection: when the frontier drains with rounds
+        #    left, re-enqueue each host's ``recrawl_budget`` stalest
+        #    seen pages (plan_recrawl's manifest — per-host top-N, no
+        #    global sort) at depth 0 with fresh disc_seq assigned in
+        #    (host, rank) order. The revisited keys are REMOVED from
+        #    the exact seen table AND the hybrid filter first — the
+        #    counting-Bloom decrements, the cuckoo deletes its
+        #    fingerprint (deletion is why the Bloom counts) — so the
+        #    unchanged exactly-once machinery re-admits exactly them.
+        #    Same adaptive index rule as steps 4/6 (hosts×budget rows
+        #    can be huge at 10^7 hosts).
+        n_recrawled = 0
+        if expected_frontier == 0 and recrawl_budget > 0 and recrawls_done < max_recrawls:
+            revisits = plan_recrawl(
+                seen.select("key", "host", "fetched_round"),
+                host_budget=recrawl_budget,
+                current_round=round_idx,
+            )
+            if seen_total >= range_partition_threshold:
+                revisits, n_recrawled = assign_global_index(
+                    revisits,
+                    ["host", "rk"],
+                    out_col="rseq",
+                    start=disc_total,
+                    num_partitions=n_par,
+                    return_count=True,
+                )
+            else:
+                w_r = Window.orderBy("host", "rk")
+                revisits = revisits.withColumn(
+                    "rseq",
+                    (F.row_number().over(w_r) - 1 + F.lit(disc_total)).cast("long"),
+                )
+                revisits = revisits.localCheckpoint(eager=True)
+                n_recrawled = revisits.count()
+            if n_recrawled:
+                removed_h64 = seen.join(
+                    revisits.select("key"), "key", "left_semi"
+                ).select("h64")
+                seenset_df = seenset_remove(
+                    seenset_df, removed_h64, seen_shards
+                ).localCheckpoint(eager=True)
+                seen = seen.join(
+                    revisits.select("key"), "key", "left_anti"
+                ).localCheckpoint(eager=True)
+                frontier = revisits.select(
+                    F.col("key").alias("url"),
+                    F.lit(0).cast("int").alias("depth"),
+                    F.col("rseq").cast("long").alias("disc_seq"),
+                )
+                disc_total += n_recrawled
+                expected_frontier = n_recrawled
+                seen_total = max(0, seen_total - n_recrawled)
+            recrawls_done += 1
+        if expected_frontier == 0:
+            break
+
         # 1. canonicalize + host metadata (one vectorized UDF pass)
         canon = frontier.mapInPandas(_canonicalize_batches, schema=_CANON_SCHEMA)
 
@@ -427,7 +541,7 @@ def crawl_spark(
         #    join), so the prune stage is skipped — the filter is an
         #    accelerator by contract, never the source of truth.
         if have_seen:
-            seen_all = seen.unionByName(failed)
+            seen_all = seen.select("key", "h64").unionByName(failed)
             if use_robots:
                 seen_all = seen_all.unionByName(blocked)
             if seen_total >= probe_threshold:
@@ -523,7 +637,11 @@ def crawl_spark(
             ).alias("fetchable"),
         ).collect()[0]
         if int(bcounts["n"] or 0) == 0:
-            break
+            # zero-fetch round (every frontier row deduped away): no
+            # metrics row, same as the oracle — the next iteration
+            # either injects a recrawl or terminates at the top break
+            expected_frontier = 0
+            continue
         n_deferred = int(bcounts["n"]) - int(bcounts["fetchable"] or 0)
         fetch_now = budgeted.filter(F.col("host_pos") <= F.col("token_budget"))
         deferred = budgeted.filter(F.col("host_pos") > F.col("token_budget")).select(
@@ -538,7 +656,7 @@ def crawl_spark(
         #    definition and the window is cheaper (same logical order
         #    either way; tests force both paths against the oracle).
         use_dist_index = expected_frontier >= range_partition_threshold
-        manifest_cols = fetch_now.select("key", "depth", "host_rank", "disc_seq")
+        manifest_cols = fetch_now.select("key", "host", "depth", "host_rank", "disc_seq")
         if use_dist_index:
             manifest_df = assign_global_index(
                 manifest_cols,
@@ -566,7 +684,7 @@ def crawl_spark(
         # approximately even, and with one wave the slowest partition
         # IS the stage time — finer tasks cut the straggler tail
         fetched = (
-            manifest_df.select("key", "depth", "disc_seq", "pos")
+            manifest_df.select("key", "host", "depth", "disc_seq", "pos")
             .repartition(n_par * 4, "key")
             .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
@@ -603,7 +721,9 @@ def crawl_spark(
         # 9. state updates — all distributed: metrics via one agg, the
         #    hybrid seen-set via a per-shard cogroup fold (one task per
         #    shard, work = blob + its adds); no per-row collect anywhere
-        new_seen = ok.select("key", "h64")
+        new_seen = ok.select(
+            "key", "h64", "host", F.lit(round_idx).cast("int").alias("fetched_round")
+        )
         new_failed = fetched.filter(F.col("status") != "ok").select("key", "h64")
         seen = seen.unionByName(new_seen)
         failed = failed.unionByName(new_failed)
@@ -647,6 +767,7 @@ def crawl_spark(
             "deferred": n_deferred,
             "blocked": n_blocked,
             "virtual_delay_ms": int(stats["delay_ms"] or 0),
+            "recrawled": n_recrawled,
         }
         result.metrics.append(round_metrics)
         if verbose:
