@@ -289,6 +289,41 @@ def q_text_corpus_stats(spark, sf_dir):
     return corpus_stats(_load(spark, sf_dir, "documents")).orderBy("lang")
 
 
+def q_text_repetition(spark, sf_dir):
+    from mhtml_to_html_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _synth_images(docs):
+    """Input-hint-shaped image+caption table derived DETERMINISTICALLY
+    from documents (no external data): dimensions/format from doc_id
+    arithmetic, caption = a doc_id-dependent prefix of the text tokens.
+    The identical derivation exists in the DuckDB oracle."""
+    toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != "")
+    return docs.select(
+        F.concat(F.lit("img_"), F.col("doc_id")).alias("image_id"),
+        (F.lit(64) + (F.col("doc_id") * 37) % 1200).cast("int").alias("w"),
+        (F.lit(64) + (F.col("doc_id") * 53) % 900).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("jpeg"), F.lit("png"), F.lit("gif"), F.lit("bmp")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("fmt"),
+        F.array_join(
+            F.slice(toks, F.lit(1), (F.col("doc_id") % 60 + 1).cast("int")), " "
+        ).alias("caption"),
+        F.col("doc_id").cast("long").alias("phash"),
+    )
+
+
+def q_image_caption_filter(spark, sf_dir):
+    from mhtml_to_html_spark.operators.curation import caption_pair_filter
+
+    return caption_pair_filter(_synth_images(_load(spark, sf_dir, "documents"))).orderBy(
+        "image_id"
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from mhtml_to_html_spark.operators.events import sessionize_batch
 
@@ -1632,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_trained": q_sim_ivf_trained,
         "sim_ann_recall": q_sim_ann_recall,
         "text_corpus_stats": q_text_corpus_stats,
+        "text_repetition": q_text_repetition,
+        "image_caption_filter": q_image_caption_filter,
         "events_sessionize": q_events_sessionize,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_stratified_sample": q_pipe_stratified_sample,
@@ -1802,6 +1839,53 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
        round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
 FROM documents GROUP BY lang ORDER BY lang""",
+        "text_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ELSE [] END AS grams
+      FROM t),
+m AS (SELECT doc_id, len(grams) AS n_ngrams,
+        CASE WHEN len(grams) > 0
+             THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+             ELSE 0.0 END AS dup_ngram_frac,
+        CASE WHEN len(grams) > 0
+             THEN round(list_max(list_transform(list_distinct(grams),
+                    x -> len(list_filter(grams, y -> y = x))))::DOUBLE / len(grams), 6)
+             ELSE 0.0 END AS top_ngram_frac
+      FROM g)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       dup_ngram_frac, top_ngram_frac,
+       top_ngram_frac > 0.18 AS repetitive
+FROM m ORDER BY doc_id""",
+        "image_caption_filter": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+imgs AS (
+  SELECT 'img_' || doc_id AS image_id,
+         64 + (doc_id * 37) % 1200 AS w,
+         64 + (doc_id * 53) % 900 AS h,
+         (['jpeg','png','gif','bmp'])[(doc_id % 4)::INT + 1] AS fmt,
+         array_to_string(toks[1:(1 + doc_id % 60)::INT], ' ') AS caption
+  FROM t),
+scored AS (
+  SELECT image_id, w, h, fmt,
+         len(list_filter(string_split_regex(lower(caption), '\\s+'), x -> x <> '')) AS caption_tokens,
+         round(greatest(w, h)::DOUBLE / least(w, h), 6) AS aspect
+  FROM imgs),
+flagged AS (
+  SELECT *,
+         CASE WHEN caption_tokens < 5 THEN 'caption_short'
+              WHEN caption_tokens > 50 THEN 'caption_long'
+              WHEN least(w, h) < 128 THEN 'too_small'
+              WHEN aspect > 2.0 THEN 'bad_aspect'
+              WHEN fmt NOT IN ('jpeg', 'png') THEN 'bad_format'
+              END AS reject_reason
+  FROM scored)
+SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, fmt,
+       CAST(caption_tokens AS BIGINT) AS caption_tokens, aspect,
+       reject_reason IS NULL AS keep, reject_reason
+FROM flagged ORDER BY image_id""",
         "events_sessionize": """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,

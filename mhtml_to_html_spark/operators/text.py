@@ -111,6 +111,50 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_metrics(docs: DataFrame, n: int = 2, top_frac_max: float = 0.18) -> DataFrame:
+    """Gopher/C4-style intra-document repetition filter signals:
+
+    - ``dup_ngram_frac``: fraction of the document's word n-gram
+      OCCURRENCES that are repeats (1 - distinct/total);
+    - ``top_ngram_frac``: fraction of occurrences taken by the single
+      most frequent n-gram;
+    - ``repetitive``: the Gopher-style keep/drop flag
+      (top fraction above ``top_frac_max``).
+
+    Scale shape: every metric is computed INSIDE the row over the token
+    array (transform/filter/aggregate higher-order functions) — a
+    map-only projection with no explode, no shuffle, no UDF; the
+    per-row cost is O(distinct·total) on ~10²-word documents. The
+    DuckDB oracle replays the same list algebra.
+    (Rae et al., Gopher §A.1.1 repetition filters; C4's boilerplate
+    heuristics — public-paper semantics, Spark-native shape.)"""
+    toks = tokens_col()
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    dup_frac = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(F.lit(0.0))
+    top_frac = F.when(total > 0, F.round(top_cnt / total, 6)).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        total.cast("long").alias("n_ngrams"),
+        dup_frac.alias("dup_ngram_frac"),
+        top_frac.alias("top_ngram_frac"),
+        (top_frac > top_frac_max).alias("repetitive"),
+    )
+
+
 def corpus_stats(docs: DataFrame) -> DataFrame:
     """(lang, n_docs, avg_chars, p50_chars, p95_chars): per-language
     length distribution — the curation dashboard numbers a pipeline

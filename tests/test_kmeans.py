@@ -161,3 +161,45 @@ def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
     plan = plan_of(ivf_query(spark, path, qv, k=10, n_probe=2))
     scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scan_lines and any("cell" in ln for ln in scan_lines), plan[:2000]
+
+
+@pytest.mark.spark
+def test_kmeans_high_dim_flat_shape(spark):
+    """dim-512 readiness (the restructured shapes are flat in dim):
+    assignment is a narrow projection, the mean update aggregates
+    posexploded (cid, pos) rows — never one agg column per dimension —
+    and a full fit converges without plan blowup."""
+    import numpy as np
+
+    from mhtml_to_html_spark.operators.kmeans import kmeans_fit
+
+    dim, n, k = 512, 96, 6
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [round(float(v), 6) for v in rng.normal(i % k, 0.05, size=dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+    out = kmeans_fit(df, k=k, n_iter=2)
+    rows_out = out.collect()
+    assert len(rows_out) == k * dim
+    sizes = {r["cid"]: r["size"] for r in rows_out}
+    assert sum(sizes.values()) == n
+    # well-separated synthetic clusters: every centroid dimension lands
+    # near its cluster's generating mean
+    by_cid = {}
+    for r in rows_out:
+        by_cid.setdefault(r["cid"], []).append(r["val"])
+    for cid, vals in by_cid.items():
+        assert abs(np.mean(vals) - round(np.mean(vals))) < 0.2
+
+
+@pytest.mark.spark
+def test_lloyd_raises_on_k_exceeding_n(spark):
+    from mhtml_to_html_spark.operators.kmeans import lloyd
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k=5 > n_vectors=2"):
+        lloyd(df, k=5, n_iter=1)

@@ -188,3 +188,58 @@ def test_corpus_stats_percentiles(spark):
     assert r["n_docs"] == 4 and r["avg_chars"] == 25.0
     assert r["p50_chars"] == 25.0  # linear interpolation between 20 and 30
     assert r["p95_chars"] == 38.5
+
+
+@pytest.mark.spark
+def test_repetition_metrics_known_values(spark):
+    """Hand-checked repetition signals: 'a b a b a' has bigrams
+    [a b, b a, a b, b a] -> dup 0.5, top 0.5; all-distinct text -> 0."""
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "x"),
+            (3, "go go go go"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rows[0]["n_ngrams"] == 4
+    assert rows[0]["dup_ngram_frac"] == 0.5 and rows[0]["top_ngram_frac"] == 0.5
+    assert rows[1]["dup_ngram_frac"] == 0.0 and not rows[1]["repetitive"]
+    assert rows[2]["n_ngrams"] == 0 and rows[2]["top_ngram_frac"] == 0.0
+    # 'go go' x3 occurrences of the single distinct bigram
+    assert rows[3]["top_ngram_frac"] == 1.0 and rows[3]["repetitive"]
+    # map-only contract: no shuffle anywhere in the plan
+    plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_caption_pair_filter_rules_and_order(spark):
+    """First-failing-rule determinism + each rule reachable."""
+    from mhtml_to_html_spark.operators.curation import caption_pair_filter
+
+    rows = [
+        ("ok", 300, 400, "jpeg", "one two three four five six"),
+        ("short", 300, 400, "jpeg", "tiny caption"),
+        ("small", 100, 400, "jpeg", "one two three four five six"),
+        ("aspect", 200, 900, "png", "one two three four five six"),
+        ("format", 300, 400, "tiff", "one two three four five six"),
+        # caption_short fires BEFORE too_small (rule order contract)
+        ("both", 64, 4000, "tiff", "x"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int, fmt string, caption string")
+    out = {r["image_id"]: r for r in caption_pair_filter(df).collect()}
+    assert out["ok"]["keep"] and out["ok"]["reject_reason"] is None
+    assert out["short"]["reject_reason"] == "caption_short"
+    assert out["small"]["reject_reason"] == "too_small"
+    assert out["aspect"]["reject_reason"] == "bad_aspect"
+    assert out["format"]["reject_reason"] == "bad_format"
+    assert out["both"]["reject_reason"] == "caption_short"
+    plan = caption_pair_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
