@@ -370,6 +370,14 @@ def q_sim_ivf_trained(spark, sf_dir):
     )
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    from mhtml_to_html_spark.operators.pq import pq_topk
+
+    return pq_topk(
+        _load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, m=4, n_codes=8, n_iter=2
+    )
+
+
 def q_sim_ann_recall(spark, sf_dir):
     from mhtml_to_html_spark.operators.similarity import ann_recall
 
@@ -1189,45 +1197,49 @@ ivf_{q} AS (
     )
 
 
-def _kmeans_blocks(k: int, n_iter: int, dim: int) -> list[str]:
+def _kmeans_blocks(k: int, n_iter: int, dim: int, prefix: str = "", offset: int = 0) -> list[str]:
     """The shared Lloyd's CTE chain (init, d/a/m/c per iteration) —
     same deterministic init, 6-decimal centroid quantization per
     boundary, left-to-right distance accumulation, cid tie-break as
-    operators/kmeans.py. The last block is ``c{n_iter}`` (cid, c)."""
+    operators/kmeans.py. The last block is ``{prefix}c{n_iter}``
+    (cid, c). With ``prefix``/``offset`` the chain trains on the
+    embedding SLICE [offset+1, offset+dim] — the PQ per-subspace
+    codebooks reuse the whole machinery."""
     rng = f"range(1, {dim + 1})"
 
     def dist(c_rel: str) -> str:
         return (
             f"list_aggregate(list_transform({rng}, j -> "
-            f"(CAST(e.embedding[j] AS DOUBLE) - {c_rel}.c[j]) * "
-            f"(CAST(e.embedding[j] AS DOUBLE) - {c_rel}.c[j])), 'sum')"
+            f"(CAST(e.embedding[{offset} + j] AS DOUBLE) - {c_rel}.c[j]) * "
+            f"(CAST(e.embedding[{offset} + j] AS DOUBLE) - {c_rel}.c[j])), 'sum')"
         )
 
+    p = prefix
     blocks = [
-        f"""init AS (
+        f"""{p}init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-         list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)) AS c
+         list_transform({rng}, j -> round(CAST(embedding[{offset} + j] AS DOUBLE), 6)) AS c
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"""
     ]
-    prev = "init"
+    prev = f"{p}init"
     for it in range(1, n_iter + 1):
         blocks.append(
-            f"""d{it} AS (
+            f"""{p}d{it} AS (
   SELECT e.vec_id, i.cid, {dist('i')} AS dist
   FROM embeddings e CROSS JOIN {prev} i),
-a{it} AS (
+{p}a{it} AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM d{it}) WHERE rn = 1),
-m{it} AS (
-  SELECT a{it}.cid, t.j AS pos, round(avg(CAST(e.embedding[t.j] AS DOUBLE)), 6) AS val
-  FROM a{it} JOIN embeddings e USING (vec_id), {rng} t(j) GROUP BY 1, 2),
-c{it} AS (
+    FROM {p}d{it}) WHERE rn = 1),
+{p}m{it} AS (
+  SELECT {p}a{it}.cid, t.j AS pos, round(avg(CAST(e.embedding[{offset} + t.j] AS DOUBLE)), 6) AS val
+  FROM {p}a{it} JOIN embeddings e USING (vec_id), {rng} t(j) GROUP BY 1, 2),
+{p}c{it} AS (
   SELECT p.cid, coalesce(n.c, p.c) AS c
-  FROM {prev} p LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS c FROM m{it} GROUP BY cid) n
+  FROM {prev} p LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS c FROM {p}m{it} GROUP BY cid) n
     USING (cid))"""
         )
-        prev = f"c{it}"
+        prev = f"{p}c{it}"
     return blocks
 
 
@@ -1242,6 +1254,62 @@ SELECT CAST(c.cid AS INT) AS cid, CAST(t.j - 1 AS INT) AS pos,
        c.c[t.j] AS val, CAST(coalesce(s{last}.size, 0) AS BIGINT) AS size
 FROM c{last} c LEFT JOIN s{last} USING (cid), {rng} t(j)
 ORDER BY cid, pos"""
+
+
+def _pq_oracle(
+    qid: int = 0, k: int = 10, m: int = 4, n_codes: int = 8, n_iter: int = 2, dim: int = 64
+) -> str:
+    """PQ/ADC replay: per-subspace Lloyd's CTE chains (the shared
+    _kmeans_blocks, sliced), final-codebook encoding, per-subspace
+    query distance tables, distance = fixed-order sum of lookups —
+    same quantization/tie rules as operators/pq.py."""
+    sub = dim // m
+    blocks: list[str] = []
+    enc_blocks: list[str] = []
+    adt_blocks: list[str] = []
+    for s in range(m):
+        pre = f"s{s}_"
+        off = s * sub
+        blocks += _kmeans_blocks(n_codes, n_iter, sub, prefix=pre, offset=off)
+        last = f"{pre}c{n_iter}"
+        rng = f"range(1, {sub + 1})"
+        dist = (
+            f"list_aggregate(list_transform({rng}, j -> "
+            f"(CAST(e.embedding[{off} + j] AS DOUBLE) - i.c[j]) * "
+            f"(CAST(e.embedding[{off} + j] AS DOUBLE) - i.c[j])), 'sum')"
+        )
+        enc_blocks.append(
+            f"""{pre}enc AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT e.vec_id, i.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, i.cid) AS rn
+    FROM embeddings e CROSS JOIN {last} i) WHERE rn = 1)"""
+        )
+        dq = (
+            f"list_aggregate(list_transform({rng}, j -> "
+            f"(q.qv[{off} + j] - i.c[j]) * (q.qv[{off} + j] - i.c[j])), 'sum')"
+        )
+        adt_blocks.append(
+            f"""{pre}adt AS (
+  SELECT i.cid, round({dq}, 6) AS d FROM {last} i CROSS JOIN q)"""
+        )
+    q_block = (
+        f"q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv "
+        f"FROM embeddings WHERE vec_id = {qid})"
+    )
+    joins = "".join(
+        f"\nJOIN s{s}_enc e{s} USING (vec_id)" for s in range(1, m)
+    ) + "".join(f"\nJOIN s{s}_adt t{s} ON t{s}.cid = e{s}.code" for s in range(m))
+    adc_sum = " + ".join(f"t{s}.d" for s in range(m))
+    return f"""
+WITH {','.join(blocks)},
+{q_block},
+{','.join(enc_blocks)},
+{','.join(adt_blocks)}
+SELECT CAST(e0.vec_id AS BIGINT) AS vec_id, round({adc_sum}, 6) AS adc_dist
+FROM s0_enc e0{joins}
+WHERE e0.vec_id <> {qid}
+ORDER BY adc_dist, e0.vec_id LIMIT {k}"""
 
 
 def _ivf_trained_oracle(
@@ -1665,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_kmeans_fit": q_sim_kmeans_fit,
         "sim_ivf_trained": q_sim_ivf_trained,
+        "sim_pq_topk": q_sim_pq_topk,
         "sim_ann_recall": q_sim_ann_recall,
         "text_corpus_stats": q_text_corpus_stats,
         "text_repetition": q_text_repetition,
@@ -1832,6 +1901,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents ORDER BY doc_id""",
         "sim_kmeans_fit": _kmeans_oracle(),
         "sim_ivf_trained": _ivf_trained_oracle(),
+        "sim_pq_topk": _pq_oracle(),
         "sim_ann_recall": _ann_recall_oracle(),
         "text_corpus_stats": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -26,21 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """(vec_id, embedding, cid): nearest centroid per vector (squared
-    L2, left-to-right accumulation, ties to the lowest cid).
-
-    Shape: the centroid matrix is DRIVER-HELD (k×dim floats), so the
-    argmin is one narrow projection — each centroid becomes an array
-    literal, the k distances an array of structs, ``array_min`` the
-    (dist, cid) tie-broken argmin. No crossJoin, no shuffle, and no
-    groupBy keyed on the raw embedding array (the round-2 high-dim
-    caution): assignment is map-only at any n."""
+def argmin_centroid(embed_col, centroids: list[list[float]]):
+    """Column expression: index of the nearest centroid to ``embed_col``
+    (squared L2, left-to-right accumulation, ties to the lowest cid).
+    The centroid matrix is DRIVER-HELD, inlined as array literals; the
+    k distances become an array of (dist, cid) structs and ``array_min``
+    is the tie-broken argmin — a NARROW expression, usable per subspace
+    (PQ) as well as on the full vector."""
     dists = [
         F.struct(
             F.aggregate(
                 F.zip_with(
-                    "embedding",
+                    embed_col,
                     F.array(*[F.lit(float(v)) for v in c]),
                     lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                 ),
@@ -51,8 +48,17 @@ def _assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
         )
         for i, c in enumerate(centroids)
     ]
-    best = F.array_min(F.array(*dists))
-    return embeddings.select("vec_id", "embedding", best["cid"].alias("cid"))
+    return F.array_min(F.array(*dists))["cid"]
+
+
+def _assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cid): nearest centroid per vector — one
+    map-only projection via :func:`argmin_centroid`. No crossJoin, no
+    shuffle, and no groupBy keyed on the raw embedding array (the
+    round-2 high-dim caution): assignment is map-only at any n."""
+    return embeddings.select(
+        "vec_id", "embedding", argmin_centroid(F.col("embedding"), centroids).alias("cid")
+    )
 
 
 def lloyd(embeddings: DataFrame, k: int = 4, n_iter: int = 2):

@@ -1,0 +1,63 @@
+"""Product-quantization ANN (operators/pq.py): encode/ADC semantics
+and the narrow plan shapes that make PQ viable at corpus scale."""
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _clustered(spark, n=60, dim=16, k=3):
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [round(float(v), 6) for v in rng.normal((i % k) * 5.0, 0.05, size=dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.mark.spark
+def test_pq_encode_plan_is_narrow(spark):
+    """Encoding a corpus against driver-held codebooks must be one
+    map-only projection — no join, no shuffle, no aggregation."""
+    from mhtml_to_html_spark.operators.pq import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train(emb, m=4, n_codes=4, n_iter=1)
+    plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Join", "Exchange", "Aggregate", "Window"):
+        assert op not in plan, f"{op} in encode plan"
+
+
+@pytest.mark.spark
+def test_pq_topk_recovers_cluster_members(spark):
+    """On well-separated clusters ADC must rank the query's own cluster
+    first: all top-k results share the query's cluster."""
+    from mhtml_to_html_spark.operators.pq import pq_topk
+
+    df = _clustered(spark)
+    rows = pq_topk(df, query_vec_id=0, k=10, m=4, n_codes=6, n_iter=2).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] % 3 == 0 for r in rows), "ADC leaked cross-cluster neighbours"
+    # distances ascend and ties (same-code vectors) break by vec_id
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists)
+
+
+@pytest.mark.spark
+def test_pq_topk_deterministic(spark):
+    from mhtml_to_html_spark.operators.pq import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = [tuple(r) for r in pq_topk(emb, 0, 10, m=4, n_codes=8, n_iter=2).collect()]
+    b = [tuple(r) for r in pq_topk(emb, 0, 10, m=4, n_codes=8, n_iter=2).collect()]
+    assert a == b
+
+
+@pytest.mark.spark
+def test_pq_train_rejects_indivisible_dim(spark):
+    from mhtml_to_html_spark.operators.pq import pq_train
+
+    df = _clustered(spark, n=10, dim=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=4, n_codes=2, n_iter=1)
