@@ -875,6 +875,33 @@ def q_frontier_recrawl_crawl(spark, sf_dir):
     )
 
 
+def q_frontier_debt_crawl(spark, sf_dir):
+    """Crawl with the politeness-debt budget boost: hosts that
+    overflowed last round get up to 2x budget this round; ordering
+    pinned byte-for-byte to the oracle replay."""
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    res = crawl_spark(
+        spark, seed_urls(4, 2), max_rounds=3, host_budget=2, fanout=3, n_hosts=4,
+        debt_boost=True,
+    )
+    rows = [
+        (o["round"], o["pos"], o["url"], o["depth"], o["status"], o["attempts"])
+        for o in res.order
+    ]
+    return spark.createDataFrame(
+        rows, "round int, pos long, url string, depth int, status string, attempts int"
+    ).selectExpr(
+        "cast(round as bigint) round",
+        "pos",
+        "url",
+        "cast(depth as bigint) depth",
+        "status",
+        "cast(attempts as bigint) attempts",
+    )
+
+
 def _media_corpus_rows():
     """Deterministic multimodal corpus: real WAV + Y4M + image bytes."""
     from mhtml_to_html_spark.images.synth import encode_image, synth_image
@@ -1501,6 +1528,38 @@ def _frontier_recrawl_values() -> str:
     ) + " ORDER BY round, pos"
 
 
+def _frontier_debt_values() -> str:
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+
+    oracle = crawl_oracle(
+        seed_urls(4, 2), max_rounds=3, host_budget=2, fanout=3, n_hosts=4,
+        debt_boost=True,
+    )
+    rows = [
+        {
+            "round": o["round"],
+            "pos": o["pos"],
+            "url": o["url"],
+            "depth": o["depth"],
+            "status": o["status"],
+            "attempts": o["attempts"],
+        }
+        for o in oracle.order
+    ]
+    return _values_oracle(
+        rows,
+        {
+            "round": "BIGINT",
+            "pos": "BIGINT",
+            "url": "VARCHAR",
+            "depth": "BIGINT",
+            "status": "VARCHAR",
+            "attempts": "BIGINT",
+        },
+    ) + " ORDER BY round, pos"
+
+
 def _values_oracle(rows: list[dict], types: dict[str, str]) -> str:
     cols = list(types)
     tuples = ",\n".join(
@@ -1762,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_crawl": q_frontier_crawl,
         "frontier_recrawl_plan": q_frontier_recrawl_plan,
         "frontier_recrawl_crawl": q_frontier_recrawl_crawl,
+        "frontier_debt_crawl": q_frontier_debt_crawl,
         "frontier_stream": q_frontier_stream,
         "media_features": q_media_features,
         "stream_windowed": q_stream_windowed,
@@ -2088,6 +2148,7 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "image_dedup_clusters": _image_clusters_oracle(),
         "frontier_crawl": _frontier_values(),
         "frontier_recrawl_crawl": _frontier_recrawl_values(),
+        "frontier_debt_crawl": _frontier_debt_values(),
         # the streaming gate must reproduce the SAME ordering oracle
         "frontier_stream": _frontier_values(),
         "media_features": _media_features_values(),

@@ -66,8 +66,14 @@ def crawl_oracle(
     use_robots: bool = False,
     recrawl_budget: int = 0,
     max_recrawls: int = 1,
+    debt_boost: bool = False,
 ) -> CrawlResult:
     result = CrawlResult()
+    # politeness-debt boost (opt-in): a host whose queue overflowed the
+    # budget last round (deferred > 0) gets budget + min(debt, budget)
+    # this round — backlogs of hot hosts clear up to 2x faster, still
+    # bounded, and the rule is a pure function of last round's counts
+    debt: dict[str, int] = {}
     # frontier rows: (url, depth, disc_seq) — disc_seq is the global
     # discovery counter, the deterministic tiebreaker
     frontier: list[tuple[str, int, int]] = []
@@ -135,15 +141,20 @@ def crawl_oracle(
         per_host: dict[str, int] = {}
         fetch_now: list[tuple[str, str, int, int]] = []
         deferred: list[tuple[str, int, int]] = []
+        new_debt: dict[str, int] = {}
         for key, url, depth, seq in candidates:
             host = url_host(key) or ""
             budget = host_token_budget(host, host_budget) if use_robots else host_budget
+            if debt_boost:
+                budget += min(debt.get(host, 0), budget)
             n = per_host.get(host, 0)
             if n < budget:
                 per_host[host] = n + 1
                 fetch_now.append((key, url, depth, seq))
             else:
                 deferred.append((url, depth, seq))
+                new_debt[host] = new_debt.get(host, 0) + 1
+        debt = new_debt
 
         discovered: list[tuple[str, int, int]] = []
         n_ok = n_failed = n_attempts = total_delay = 0

@@ -364,6 +364,7 @@ def crawl_spark(
     robots_broadcast_threshold: int = 100_000,
     recrawl_budget: int = 0,
     max_recrawls: int = 1,
+    debt_boost: bool = False,
     verbose: bool = False,
 ) -> SparkCrawlResult:
     """Run the crawl to fixpoint (or ``max_rounds``); optionally
@@ -396,6 +397,8 @@ def crawl_spark(
     empty_robots = spark.createDataFrame(
         [], "host string, disallow string, crawl_delay_level int"
     )
+    empty_debt = spark.createDataFrame([], "host string, debt long")
+    debt_df = empty_debt
     seenset_df = spark.createDataFrame([], _SHARD_BLOB_SCHEMA)
     seenset_loaded = False
     if resume and catalog is not None and catalog.latest() is not None:
@@ -425,6 +428,11 @@ def crawl_spark(
             seenset_loaded = True
         except Exception:
             pass  # pre-seenset snapshot: rebuilt below
+        if debt_boost:
+            try:
+                debt_df = catalog.load_table(spark, snap, "debt")
+            except Exception:
+                debt_df = empty_debt  # pre-debt snapshot: no boost info
     else:
         rows = []
         for url in seeds:
@@ -615,6 +623,19 @@ def crawl_spark(
         import time as _time
 
         _t0 = _time.perf_counter()
+        if debt_boost:
+            # politeness-debt boost: hosts whose queue overflowed LAST
+            # round get base + min(debt, base) this round (bounded 2x).
+            # The debt table only holds overflowed hosts — tiny in the
+            # common case (broadcast), hash join on `host` above the
+            # threshold where its exchange feeds the politeness window
+            if debt_df is not empty_debt and (
+                debt_df.count() > robots_broadcast_threshold
+            ):
+                debt_side = debt_df
+            else:
+                debt_side = F.broadcast(debt_df)
+            prioritized = prioritized.join(debt_side, "host", "left")
         w_host = Window.partitionBy("host").orderBy("depth", "host_rank", "disc_seq")
         budgeted = prioritized.withColumn("host_pos", F.row_number().over(w_host))
         if use_robots:
@@ -625,8 +646,20 @@ def crawl_spark(
             )
         else:
             budget_col = F.lit(host_budget)
+        if debt_boost:
+            budget_col = budget_col + F.least(
+                F.coalesce(F.col("debt"), F.lit(0)), budget_col
+            )
         budgeted = budgeted.withColumn("token_budget", budget_col)
         budgeted = budgeted.localCheckpoint(eager=True)
+        if debt_boost:
+            # next round's debt = this round's per-host overflow counts
+            debt_df = (
+                budgeted.filter(F.col("host_pos") > F.col("token_budget"))
+                .groupBy("host")
+                .agg(F.count("*").alias("debt"))
+                .localCheckpoint(eager=True)
+            )
         _t1 = _time.perf_counter()
         # one agg answers both "is the frontier drained?" and the
         # deferred count (two separate driver jobs otherwise)
@@ -796,6 +829,8 @@ def crawl_spark(
             if use_robots:
                 tables["robots"] = robots_cache
                 tables["blocked"] = blocked
+            if debt_boost:
+                tables["debt"] = debt_df
             snap = catalog.write_snapshot(
                 tables,
                 metrics={"rounds": result.metrics, "disc_total": disc_total, **round_metrics},
@@ -810,6 +845,8 @@ def crawl_spark(
             if use_robots:
                 robots_cache = catalog.load_table(spark, snap, "robots")
                 blocked = catalog.load_table(spark, snap, "blocked")
+            if debt_boost:
+                debt_df = catalog.load_table(spark, snap, "debt")
 
     if collect_order:
         for row in order_acc.orderBy("round", "pos").collect():
