@@ -1166,7 +1166,9 @@ def _ann_recall_oracle(query_ids=(0, 7, 13), k: int = 10) -> str:
             for i in range(dims)
         )
 
-    ctes, selects = [], []
+    # PQ shares one trained/encoded corpus across the query panel
+    ctes = _pq_shared_ctes(m=4, n_codes=8, n_iter=2, dim=64)
+    selects = []
     for q in query_ids:
         ctes.append(
             f"""exact_{q} AS (
@@ -1211,7 +1213,14 @@ ivf_{q} AS (
   WHERE a.vec_id <> {q}
   ORDER BY {_cosine_expr('e.embedding', 'qq.qv')} DESC, a.vec_id LIMIT {k})"""
         )
-        for method, cte in (("ivf", f"ivf_{q}"), ("lsh", f"lsh_{q}"), ("lsh_multiprobe", f"mp_{q}")):
+        pq_ctes, pq_top = _pq_query_ctes(q, k, m=4, n_iter=2, dim=64, tag=str(q))
+        ctes.extend(pq_ctes)
+        for method, cte in (
+            ("ivf", f"ivf_{q}"),
+            ("lsh", f"lsh_{q}"),
+            ("lsh_multiprobe", f"mp_{q}"),
+            ("pq", pq_top),
+        ):
             selects.append(
                 f"SELECT '{method}' AS method, CAST({q} AS BIGINT) AS query_id, "
                 f"round((SELECT count(*) FROM {cte} x WHERE x.vec_id IN "
@@ -1283,17 +1292,12 @@ FROM c{last} c LEFT JOIN s{last} USING (cid), {rng} t(j)
 ORDER BY cid, pos"""
 
 
-def _pq_oracle(
-    qid: int = 0, k: int = 10, m: int = 4, n_codes: int = 8, n_iter: int = 2, dim: int = 64
-) -> str:
-    """PQ/ADC replay: per-subspace Lloyd's CTE chains (the shared
-    _kmeans_blocks, sliced), final-codebook encoding, per-subspace
-    query distance tables, distance = fixed-order sum of lookups —
-    same quantization/tie rules as operators/pq.py."""
+def _pq_shared_ctes(m: int, n_codes: int, n_iter: int, dim: int) -> list[str]:
+    """Query-independent PQ CTEs: per-subspace Lloyd's training chains
+    (the shared _kmeans_blocks, sliced) + final-codebook encoding
+    ``s{s}_enc`` (vec_id, code)."""
     sub = dim // m
     blocks: list[str] = []
-    enc_blocks: list[str] = []
-    adt_blocks: list[str] = []
     for s in range(m):
         pre = f"s{s}_"
         off = s * sub
@@ -1305,38 +1309,60 @@ def _pq_oracle(
             f"(CAST(e.embedding[{off} + j] AS DOUBLE) - i.c[j]) * "
             f"(CAST(e.embedding[{off} + j] AS DOUBLE) - i.c[j])), 'sum')"
         )
-        enc_blocks.append(
+        blocks.append(
             f"""{pre}enc AS (
   SELECT vec_id, cid AS code FROM (
     SELECT e.vec_id, i.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, i.cid) AS rn
     FROM embeddings e CROSS JOIN {last} i) WHERE rn = 1)"""
         )
+    return blocks
+
+
+def _pq_query_ctes(qid: int, k: int, m: int, n_iter: int, dim: int, tag: str) -> tuple[list[str], str]:
+    """Per-query PQ CTEs (ADC tables + ranking); returns (ctes,
+    top-k CTE name). Requires :func:`_pq_shared_ctes` in scope."""
+    sub = dim // m
+    ctes = [
+        f"""pqq_{tag} AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = {qid})"""
+    ]
+    for s in range(m):
+        off = s * sub
+        rng = f"range(1, {sub + 1})"
         dq = (
             f"list_aggregate(list_transform({rng}, j -> "
             f"(q.qv[{off} + j] - i.c[j]) * (q.qv[{off} + j] - i.c[j])), 'sum')"
         )
-        adt_blocks.append(
-            f"""{pre}adt AS (
-  SELECT i.cid, round({dq}, 6) AS d FROM {last} i CROSS JOIN q)"""
+        ctes.append(
+            f"""s{s}adt_{tag} AS (
+  SELECT i.cid, round({dq}, 6) AS d FROM s{s}_c{n_iter} i CROSS JOIN pqq_{tag} q)"""
         )
-    q_block = (
-        f"q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv "
-        f"FROM embeddings WHERE vec_id = {qid})"
-    )
     joins = "".join(
-        f"\nJOIN s{s}_enc e{s} USING (vec_id)" for s in range(1, m)
-    ) + "".join(f"\nJOIN s{s}_adt t{s} ON t{s}.cid = e{s}.code" for s in range(m))
+        f"\n  JOIN s{s}_enc e{s} USING (vec_id)" for s in range(1, m)
+    ) + "".join(f"\n  JOIN s{s}adt_{tag} t{s} ON t{s}.cid = e{s}.code" for s in range(m))
     adc_sum = " + ".join(f"t{s}.d" for s in range(m))
+    ctes.append(
+        f"""pq_{tag} AS (
+  SELECT e0.vec_id, round({adc_sum}, 6) AS adc_dist
+  FROM s0_enc e0{joins}
+  WHERE e0.vec_id <> {qid}
+  ORDER BY adc_dist, e0.vec_id LIMIT {k})"""
+    )
+    return ctes, f"pq_{tag}"
+
+
+def _pq_oracle(
+    qid: int = 0, k: int = 10, m: int = 4, n_codes: int = 8, n_iter: int = 2, dim: int = 64
+) -> str:
+    """PQ/ADC replay — same quantization/tie rules as operators/pq.py."""
+    blocks = _pq_shared_ctes(m, n_codes, n_iter, dim)
+    qctes, top = _pq_query_ctes(qid, k, m, n_iter, dim, tag="q")
     return f"""
 WITH {','.join(blocks)},
-{q_block},
-{','.join(enc_blocks)},
-{','.join(adt_blocks)}
-SELECT CAST(e0.vec_id AS BIGINT) AS vec_id, round({adc_sum}, 6) AS adc_dist
-FROM s0_enc e0{joins}
-WHERE e0.vec_id <> {qid}
-ORDER BY adc_dist, e0.vec_id LIMIT {k}"""
+{','.join(qctes)}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, adc_dist FROM {top}
+ORDER BY adc_dist, vec_id"""
 
 
 def _ivf_trained_oracle(

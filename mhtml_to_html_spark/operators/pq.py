@@ -83,6 +83,34 @@ def _adc_tables(query_vec: list[float], books: list[list[list[float]]]) -> list[
     return tables
 
 
+def pq_topk_from_codes(
+    enc: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Rank an already-encoded corpus against one query: ADC distance =
+    fixed-order sum of per-subspace table lookups (tables inline as
+    literals), ascending, ties to lowest vec_id. The encode cost is
+    paid once per corpus, this per-query step touches only codes."""
+    tables = _adc_tables([float(v) for v in query_vec], books)
+    adc = None
+    for s, row in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]), F.col(f"code{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    out = enc
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -92,24 +120,12 @@ def pq_topk(
     n_iter: int = 2,
 ) -> DataFrame:
     """(vec_id, adc_dist): the query's ``k`` approximate nearest
-    neighbours by PQ/ADC — codes from :func:`pq_encode`, distance =
-    fixed-order sum of table lookups, ascending, ties to lowest
-    vec_id."""
+    neighbours by PQ/ADC — train, encode, rank in one call."""
     books = pq_train(embeddings, m=m, n_codes=n_codes, n_iter=n_iter)
     enc = pq_encode(embeddings, books)
     q_emb = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").first()[
         "embedding"
     ]
-    tables = _adc_tables([float(v) for v in q_emb], books)
-    adc = None
-    for s, row in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in row]), F.col(f"code{s}") + 1
-        )
-        adc = term if adc is None else adc + term
-    return (
-        enc.filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", F.round(adc, 6).alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(k)
+    return pq_topk_from_codes(
+        enc, books, [float(v) for v in q_emb], k=k, exclude_vec_id=query_vec_id
     )

@@ -308,14 +308,29 @@ def ann_recall(
     is k rows, so collecting them to compare is the correct shape at
     any corpus size (the expensive part — the candidate scans — runs
     distributed inside each variant)."""
+    from .pq import pq_encode, pq_topk_from_codes, pq_train
+
     spark = embeddings.sparkSession
+    # PQ codebooks are query-independent: train + encode once, rank per
+    # query against the cached codes
+    books = pq_train(embeddings, m=4, n_codes=8, n_iter=2)
+    enc = pq_encode(embeddings, books).localCheckpoint(eager=True)
     rows = []
     for q in query_ids:
         exact = {r["vec_id"] for r in cosine_topk(embeddings, q, k).collect()}
+        q_emb = embeddings.filter(F.col("vec_id") == q).select("embedding").first()[
+            "embedding"
+        ]
         variants = (
             ("ivf", ivf_topk(embeddings, q, k, n_cells=16, n_probe=4)),
             ("lsh", lsh_topk(embeddings, q, k, dims=4)),
             ("lsh_multiprobe", lsh_topk_multiprobe(embeddings, q, k, dims=8)),
+            (
+                "pq",
+                pq_topk_from_codes(
+                    enc, books, [float(v) for v in q_emb], k=k, exclude_vec_id=q
+                ),
+            ),
         )
         for method, df in variants:
             got = {r["vec_id"] for r in df.collect()}

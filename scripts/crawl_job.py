@@ -24,6 +24,14 @@ def main() -> None:
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--robots", action="store_true")
+    parser.add_argument(
+        "--recrawl-budget", type=int, default=0,
+        help="per-host stalest-page revisits when the frontier drains (0 = off)",
+    )
+    parser.add_argument(
+        "--debt-boost", action="store_true",
+        help="hosts that overflowed the politeness budget last round get up to 2x budget",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,6 +51,8 @@ def main() -> None:
         checkpoint_dir=args.checkpoint,
         resume=args.resume,
         use_robots=args.robots,
+        recrawl_budget=args.recrawl_budget,
+        debt_boost=args.debt_boost,
         collect_order=False,
         decode_payload=True,
     )

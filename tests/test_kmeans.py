@@ -89,12 +89,12 @@ def test_ann_recall_panel(spark):
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     rows = ann_recall(emb, query_ids=(0, 7), k=5).collect()
-    assert len(rows) == 6  # 3 methods x 2 queries
+    assert len(rows) == 8  # 4 methods x 2 queries
     by_method = {}
     for r in rows:
         assert 0.0 <= r["recall"] <= 1.0
         by_method.setdefault(r["method"], []).append(r["recall"])
-    assert set(by_method) == {"ivf", "lsh", "lsh_multiprobe"}
+    assert set(by_method) == {"ivf", "lsh", "lsh_multiprobe", "pq"}
     assert sum(by_method["ivf"]) >= sum(by_method["lsh"])
 
 
