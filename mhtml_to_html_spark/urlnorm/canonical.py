@@ -165,7 +165,10 @@ def canonicalize_url(url: str) -> str:
         return norm
     path = _percent_decode_unreserved(parts.path)
     query = _percent_decode_unreserved(parts.query)
-    return urlunsplit((parts.scheme, parts.netloc, path, query, ""))
+    # strip again: dropping a fragment can EXPOSE trailing whitespace
+    # that the input-side strip could not see ('0 #' -> '0 '), and the
+    # canonical key must be a fixed point of this function
+    return urlunsplit((parts.scheme, parts.netloc, path, query, "")).strip()
 
 
 def url_host(url: str) -> str | None:
