@@ -253,6 +253,17 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), 0.4).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_ngram_pruned(spark, sf_dir):
+    """ngram Jaccard with the stop-shingle prune (max_df): the
+    standalone-safe configuration — shingles in more than max_df docs
+    drop out of both the join and the sizes."""
+    from mhtml_to_html_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), 0.4, max_df=20).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from mhtml_to_html_spark.operators.dedup import simhash
 
@@ -375,6 +386,15 @@ def q_sim_pq_topk(spark, sf_dir):
 
     return pq_topk(
         _load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, m=4, n_codes=8, n_iter=2
+    )
+
+
+def q_sim_ivfpq_topk(spark, sf_dir):
+    from mhtml_to_html_spark.operators.pq import ivfpq_topk
+
+    return ivfpq_topk(
+        _load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
+        n_cells=4, n_probe=2, m=4, n_codes=8, n_iter=2,
     )
 
 
@@ -1233,7 +1253,10 @@ ivf_{q} AS (
     )
 
 
-def _kmeans_blocks(k: int, n_iter: int, dim: int, prefix: str = "", offset: int = 0) -> list[str]:
+def _kmeans_blocks(
+    k: int, n_iter: int, dim: int, prefix: str = "", offset: int = 0,
+    table: str = "embeddings",
+) -> list[str]:
     """The shared Lloyd's CTE chain (init, d/a/m/c per iteration) —
     same deterministic init, 6-decimal centroid quantization per
     boundary, left-to-right distance accumulation, cid tie-break as
@@ -1255,21 +1278,21 @@ def _kmeans_blocks(k: int, n_iter: int, dim: int, prefix: str = "", offset: int 
         f"""{p}init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform({rng}, j -> round(CAST(embedding[{offset} + j] AS DOUBLE), 6)) AS c
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+  FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {k}))"""
     ]
     prev = f"{p}init"
     for it in range(1, n_iter + 1):
         blocks.append(
             f"""{p}d{it} AS (
   SELECT e.vec_id, i.cid, {dist('i')} AS dist
-  FROM embeddings e CROSS JOIN {prev} i),
+  FROM {table} e CROSS JOIN {prev} i),
 {p}a{it} AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM {p}d{it}) WHERE rn = 1),
 {p}m{it} AS (
   SELECT {p}a{it}.cid, t.j AS pos, round(avg(CAST(e.embedding[{offset} + t.j] AS DOUBLE)), 6) AS val
-  FROM {p}a{it} JOIN embeddings e USING (vec_id), {rng} t(j) GROUP BY 1, 2),
+  FROM {p}a{it} JOIN {table} e USING (vec_id), {rng} t(j) GROUP BY 1, 2),
 {p}c{it} AS (
   SELECT p.cid, coalesce(n.c, p.c) AS c
   FROM {prev} p LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS c FROM {p}m{it} GROUP BY cid) n
@@ -1292,7 +1315,9 @@ FROM c{last} c LEFT JOIN s{last} USING (cid), {rng} t(j)
 ORDER BY cid, pos"""
 
 
-def _pq_shared_ctes(m: int, n_codes: int, n_iter: int, dim: int) -> list[str]:
+def _pq_shared_ctes(
+    m: int, n_codes: int, n_iter: int, dim: int, table: str = "embeddings"
+) -> list[str]:
     """Query-independent PQ CTEs: per-subspace Lloyd's training chains
     (the shared _kmeans_blocks, sliced) + final-codebook encoding
     ``s{s}_enc`` (vec_id, code)."""
@@ -1301,7 +1326,7 @@ def _pq_shared_ctes(m: int, n_codes: int, n_iter: int, dim: int) -> list[str]:
     for s in range(m):
         pre = f"s{s}_"
         off = s * sub
-        blocks += _kmeans_blocks(n_codes, n_iter, sub, prefix=pre, offset=off)
+        blocks += _kmeans_blocks(n_codes, n_iter, sub, prefix=pre, offset=off, table=table)
         last = f"{pre}c{n_iter}"
         rng = f"range(1, {sub + 1})"
         dist = (
@@ -1314,7 +1339,7 @@ def _pq_shared_ctes(m: int, n_codes: int, n_iter: int, dim: int) -> list[str]:
   SELECT vec_id, cid AS code FROM (
     SELECT e.vec_id, i.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, i.cid) AS rn
-    FROM embeddings e CROSS JOIN {last} i) WHERE rn = 1)"""
+    FROM {table} e CROSS JOIN {last} i) WHERE rn = 1)"""
         )
     return blocks
 
@@ -1350,6 +1375,84 @@ def _pq_query_ctes(qid: int, k: int, m: int, n_iter: int, dim: int, tag: str) ->
   ORDER BY adc_dist, e0.vec_id LIMIT {k})"""
     )
     return ctes, f"pq_{tag}"
+
+
+def _ivfpq_oracle(
+    qid: int = 0,
+    k: int = 10,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> str:
+    """IVFADC replay: coarse Lloyd's chain routes vectors, residuals
+    (x − centroid[cell]) feed the per-subspace PQ chains, encoding uses
+    the final codebooks, and the query ranks by per-cell residual ADC
+    within its n_probe nearest cells — same quantization/tie rules as
+    operators/pq.ivfpq_topk."""
+    sub = dim // m
+    rng = f"range(1, {dim + 1})"
+    last = f"ivf_c{n_iter}"
+    d_vec = (
+        f"list_aggregate(list_transform({rng}, j -> "
+        f"(CAST(e.embedding[j] AS DOUBLE) - i.c[j]) * "
+        f"(CAST(e.embedding[j] AS DOUBLE) - i.c[j])), 'sum')"
+    )
+    d_query = (
+        f"list_aggregate(list_transform({rng}, j -> "
+        f"(q.qv[j] - i.c[j]) * (q.qv[j] - i.c[j])), 'sum')"
+    )
+    blocks = _kmeans_blocks(n_cells, n_iter, dim, prefix="ivf_")
+    blocks.append(
+        f"""routed AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, i.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_vec}, i.cid) AS rn
+    FROM embeddings e CROSS JOIN {last} i) WHERE rn = 1),
+res AS (
+  SELECT r.vec_id, r.cell,
+         list_transform({rng}, j -> CAST(e.embedding[j] AS DOUBLE) - i.c[j]) AS embedding
+  FROM routed r JOIN embeddings e USING (vec_id) JOIN {last} i ON i.cid = r.cell)"""
+    )
+    blocks += _pq_shared_ctes(m, n_codes, n_iter, dim, table="res")
+    enc_joins = "".join(f" JOIN s{s}_enc e{s} USING (vec_id)" for s in range(m))
+    enc_codes = ", ".join(f"e{s}.code AS code{s}" for s in range(m))
+    blocks.append(
+        f"""enc AS (
+  SELECT r.vec_id, r.cell, {enc_codes}
+  FROM res r{enc_joins}),
+q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {qid}),
+probe AS (SELECT i.cid FROM {last} i CROSS JOIN q ORDER BY {d_query}, i.cid LIMIT {n_probe}),
+qres AS (
+  SELECT p.cid AS cell, list_transform({rng}, j -> q.qv[j] - i.c[j]) AS rv
+  FROM probe p JOIN {last} i ON i.cid = p.cid CROSS JOIN q)"""
+    )
+    adt_joins = []
+    for s in range(m):
+        off = s * sub
+        srng = f"range(1, {sub + 1})"
+        dq = (
+            f"list_aggregate(list_transform({srng}, j -> "
+            f"(r.rv[{off} + j] - i.c[j]) * (r.rv[{off} + j] - i.c[j])), 'sum')"
+        )
+        blocks.append(
+            f"""adt{s} AS (
+  SELECT r.cell, i.cid AS code, round({dq}, 6) AS d
+  FROM qres r CROSS JOIN s{s}_c{n_iter} i)"""
+        )
+        adt_joins.append(f"JOIN adt{s} t{s} ON t{s}.cell = e.cell AND t{s}.code = e.code{s}")
+    adc_sum = " + ".join(f"t{s}.d" for s in range(m))
+    return f"""
+WITH {','.join(blocks)}
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(e.cell AS INT) AS cell,
+       round({adc_sum}, 6) AS adc_dist
+FROM enc e JOIN probe p ON p.cid = e.cell
+  {' '.join(adt_joins)}
+WHERE e.vec_id <> {qid}
+ORDER BY adc_dist, e.vec_id LIMIT {k}"""
 
 
 def _pq_oracle(
@@ -1811,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_ngram_pruned": q_dedup_ngram_pruned,
         "dedup_simhash": q_dedup_simhash,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -1819,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_fit": q_sim_kmeans_fit,
         "sim_ivf_trained": q_sim_ivf_trained,
         "sim_pq_topk": q_sim_pq_topk,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_ann_recall": q_sim_ann_recall,
         "text_corpus_stats": q_text_corpus_stats,
         "text_repetition": q_text_repetition,
@@ -1929,6 +2034,20 @@ SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
 FROM documents GROUP BY 1 ORDER BY h""",
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_ngram_pruned": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
+ORDER BY doc_a, doc_b""",
         "dedup_ngram_jaccard": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
@@ -1988,6 +2107,7 @@ FROM documents ORDER BY doc_id""",
         "sim_kmeans_fit": _kmeans_oracle(),
         "sim_ivf_trained": _ivf_trained_oracle(),
         "sim_pq_topk": _pq_oracle(),
+        "sim_ivfpq_topk": _ivfpq_oracle(),
         "sim_ann_recall": _ann_recall_oracle(),
         "text_corpus_stats": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -189,12 +189,33 @@ def minhash_lsh_pairs(
     return small_pairs.unionByName(big_pairs).distinct()
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle:
-    |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|."""
+    |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_df`` (opt-in) makes the operator STANDALONE-SAFE at scale:
+    shingles appearing in more than ``max_df`` documents (stop-shingles
+    — boilerplate that makes the self-join quadratic in the hottest
+    key) are dropped before the join, from BOTH the intersection and
+    each document's size, so the score becomes Jaccard over the
+    informative shingle subset. Without it the join explodes on
+    stop-shingles and the operator is a within-bucket verifier only
+    (the documented round-1 contract). The prune is one extra
+    partial-agg count + a join on the shingle — the same key the
+    self-join shuffles on anyway."""
     sh = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(shingles_col()).alias("shingle")
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

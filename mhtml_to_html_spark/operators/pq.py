@@ -52,9 +52,11 @@ def pq_train(
     return books
 
 
-def pq_encode(embeddings: DataFrame, books: list[list[list[float]]]) -> DataFrame:
-    """(vec_id, code0..code{m-1}): nearest code per subspace — one
-    narrow projection, no shuffle."""
+def pq_encode(
+    embeddings: DataFrame, books: list[list[list[float]]], keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id[, keep_cols...], code0..code{m-1}): nearest code per
+    subspace — one narrow projection, no shuffle."""
     sub = len(books[0][0])
     code_cols = [
         argmin_centroid(F.slice("embedding", s * sub + 1, sub), book)
@@ -62,7 +64,9 @@ def pq_encode(embeddings: DataFrame, books: list[list[list[float]]]) -> DataFram
         .alias(f"code{s}")
         for s, book in enumerate(books)
     ]
-    return embeddings.select(F.col("vec_id").cast("long").alias("vec_id"), *code_cols)
+    return embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"), *keep_cols, *code_cols
+    )
 
 
 def _adc_tables(query_vec: list[float], books: list[list[list[float]]]) -> list[list[float]]:
@@ -83,6 +87,18 @@ def _adc_tables(query_vec: list[float], books: list[list[list[float]]]) -> list[
     return tables
 
 
+def _adc_expr(tables: list[list[float]]):
+    """Column expression: sum of per-subspace table lookups (fixed
+    s=0..m-1 order), rounded to 6 decimals."""
+    adc = None
+    for s, row in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]), F.col(f"code{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return F.round(adc, 6)
+
+
 def pq_topk_from_codes(
     enc: DataFrame,
     books: list[list[list[float]]],
@@ -94,18 +110,12 @@ def pq_topk_from_codes(
     fixed-order sum of per-subspace table lookups (tables inline as
     literals), ascending, ties to lowest vec_id. The encode cost is
     paid once per corpus, this per-query step touches only codes."""
-    tables = _adc_tables([float(v) for v in query_vec], books)
-    adc = None
-    for s, row in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in row]), F.col(f"code{s}") + 1
-        )
-        adc = term if adc is None else adc + term
+    adc = _adc_expr(_adc_tables([float(v) for v in query_vec], books))
     out = enc
     if exclude_vec_id is not None:
         out = out.filter(F.col("vec_id") != exclude_vec_id)
     return (
-        out.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        out.select("vec_id", adc.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -128,4 +138,80 @@ def pq_topk(
     ]
     return pq_topk_from_codes(
         enc, books, [float(v) for v in q_emb], k=k, exclude_vec_id=query_vec_id
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVFADC (Jégou et al. §IV): coarse k-means routes every vector to
+    a cell, PQ codebooks train on the RESIDUALS (x − centroid[cell],
+    pooled across cells), and a query probes its ``n_probe`` nearest
+    cells ranking by ADC against the PER-CELL query residual.
+
+    Scale shape: routing and residuals are narrow projections (centroid
+    matrix driver-held, element_at-indexed by cell); the probe filter
+    prunes the scan to n_probe/n_cells of the corpus BEFORE any ADC
+    work (pair with :func:`kmeans.write_ivf_index`-style cell
+    partitioning to make the prune physical); ranking touches only the
+    m-byte codes. Returns (vec_id, cell, adc_dist) ascending, ties to
+    lowest vec_id."""
+    from .kmeans import _assign, lloyd
+
+    cents, _ = lloyd(embeddings, k=n_cells, n_iter=n_iter)
+    routed = _assign(embeddings, cents)
+
+    # residual = embedding − centroid[cell], one narrow expression (the
+    # centroid matrix indexes by cell via element_at over literals)
+    cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    residual = F.zip_with(
+        "embedding",
+        F.element_at(cent_lit, F.col("cid") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    res = routed.select(
+        "vec_id", F.col("cid").alias("cell"), residual.alias("embedding")
+    ).localCheckpoint(eager=True)  # PQ training scans res m*n_iter times
+
+    books = pq_train(res, m=m, n_codes=n_codes, n_iter=n_iter)
+    enc = pq_encode(res, books, keep_cols=("cell",))
+
+    q_emb = [
+        float(v)
+        for v in embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+
+    def _d(c):
+        acc = 0.0
+        for a, b in zip(q_emb, c):
+            acc += (a - b) * (a - b)
+        return acc
+
+    probe_cells = [
+        cid for cid, _ in sorted(enumerate(cents), key=lambda t: (_d(t[1]), t[0]))[:n_probe]
+    ]
+
+    # per-cell ADC tables against the cell's query residual
+    adc = None
+    for cell in probe_cells:
+        qres = [q_emb[j] - cents[cell][j] for j in range(len(q_emb))]
+        branch = _adc_expr(_adc_tables(qres, books))
+        cond = F.col("cell") == cell
+        adc = F.when(cond, branch) if adc is None else adc.when(cond, branch)
+
+    return (
+        enc.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
     )

@@ -243,3 +243,30 @@ def test_caption_pair_filter_rules_and_order(spark):
     assert out["both"]["reject_reason"] == "caption_short"
     plan = caption_pair_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_ngram_jaccard_max_df_drops_stop_shingles(spark):
+    """Two docs sharing ONLY boilerplate must pair without the prune
+    and disappear with it; a genuinely-duplicated pair must survive."""
+    boiler = "all rights reserved contact us terms of service apply now"
+    df = spark.createDataFrame(
+        [
+            (0, boiler + " alpha beta gamma delta"),
+            (1, boiler + " epsilon zeta eta theta"),
+            (2, "unique payload one two three four five six"),
+            (3, "unique payload one two three four five six"),
+            (4, boiler + " iota kappa lambda mu"),  # boilerplate df=3 > max_df
+        ],
+        "doc_id long, text string",
+    )
+    from mhtml_to_html_spark.operators.dedup import ngram_jaccard_pairs
+
+    plain = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(df, 0.3).collect()}
+    pruned = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, 0.3, max_df=2).collect()
+    }
+    assert (0, 1) in plain, "boilerplate-only pair should pass without the prune"
+    assert (0, 1) not in pruned, "stop-shingle prune must kill the boilerplate pair"
+    assert (2, 3) in plain and (2, 3) in pruned, "real duplicates survive the prune"

@@ -61,3 +61,34 @@ def test_pq_train_rejects_indivisible_dim(spark):
     df = _clustered(spark, n=10, dim=10)
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, m=4, n_codes=2, n_iter=1)
+
+
+@pytest.mark.spark
+def test_ivfpq_recovers_cluster_members(spark):
+    """Residual-PQ within probed cells: the query's own cluster fills
+    the top-k on well-separated synthetic clusters."""
+    from mhtml_to_html_spark.operators.pq import ivfpq_topk
+
+    df = _clustered(spark)
+    rows = ivfpq_topk(df, query_vec_id=0, k=10, n_cells=3, n_probe=1,
+                      m=4, n_codes=4, n_iter=2).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] % 3 == 0 for r in rows)
+    assert len({r["cell"] for r in rows}) == 1  # one probed cell
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists)
+
+
+@pytest.mark.spark
+def test_ivfpq_deterministic_and_probe_prunes(spark):
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.operators.pq import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = [tuple(r) for r in ivfpq_topk(emb, 0, 10, n_cells=4, n_probe=2).collect()]
+    b = [tuple(r) for r in ivfpq_topk(emb, 0, 10, n_cells=4, n_probe=2).collect()]
+    assert a == b
+    # results only come from the probed cells
+    cells = {t[1] for t in a}
+    assert len(cells) <= 2
