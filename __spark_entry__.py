@@ -335,6 +335,12 @@ def q_image_caption_filter(spark, sf_dir):
     )
 
 
+def q_docs_curate(spark, sf_dir):
+    from mhtml_to_html_spark.operators.curation import curate_documents
+
+    return curate_documents(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_events_sessionize(spark, sf_dir):
     from mhtml_to_html_spark.operators.events import sessionize_batch
 
@@ -1928,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_stats": q_text_corpus_stats,
         "text_repetition": q_text_repetition,
         "image_caption_filter": q_image_caption_filter,
+        "docs_curate": q_docs_curate,
         "events_sessionize": q_events_sessionize,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_stratified_sample": q_pipe_stratified_sample,
@@ -2162,6 +2169,58 @@ SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, fmt,
        CAST(caption_tokens AS BIGINT) AS caption_tokens, aspect,
        reject_reason IS NULL AS keep, reject_reason
 FROM flagged ORDER BY image_id""",
+        "docs_curate": rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         {_TOKS} AS toks
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN greatest(
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['de']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['en']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['es']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['fr']}))) = 0 THEN 'und'
+              WHEN len(list_intersect(list_distinct(toks), {_LANG_STOP['de']})) = greatest(
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['de']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['en']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['es']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['fr']}))) THEN 'de'
+              WHEN len(list_intersect(list_distinct(toks), {_LANG_STOP['en']})) = greatest(
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['de']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['en']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['es']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['fr']}))) THEN 'en'
+              WHEN len(list_intersect(list_distinct(toks), {_LANG_STOP['es']})) = greatest(
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['de']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['en']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['es']})),
+                  len(list_intersect(list_distinct(toks), {_LANG_STOP['fr']}))) THEN 'es'
+              ELSE 'fr' END AS predicted_lang,
+         round((round(least(n_chars / 500.0, 1.0), 6)
+                + (1.0 - round(n_punct / greatest(n_chars, 1.0), 6))
+                + round(CAST(len(list_intersect(list_distinct(toks), {_EN_STOP})) AS DOUBLE) / 10, 6)) / 3.0, 6) AS quality,
+         CASE WHEN len(toks) >= 2 THEN
+              round(CAST(list_max(list_transform(
+                        list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])),
+                        x -> len(list_filter(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]), y -> y = x))))
+                    AS DOUBLE) / (len(toks) - 1), 6)
+              ELSE 0.0 END AS top_ngram_frac
+  FROM base),
+flagged AS (
+  SELECT *,
+         CASE WHEN n_tokens < 10 THEN 'too_short'
+              WHEN predicted_lang NOT IN ('de', 'en', 'es', 'fr') THEN 'bad_lang'
+              WHEN quality < 0.5 THEN 'low_quality'
+              WHEN top_ngram_frac > 0.18 THEN 'repetitive'
+              END AS reject_reason
+  FROM sig)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, predicted_lang, quality, top_ngram_frac,
+       reject_reason IS NULL AS keep, reject_reason
+FROM flagged ORDER BY doc_id""",
         "events_sessionize": """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,

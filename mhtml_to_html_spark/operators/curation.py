@@ -53,3 +53,92 @@ def caption_pair_filter(
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+    min_quality: float = 0.5,
+    top_frac_max: float = 0.18,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """The end-to-end document admission pipeline: language ID, quality
+    score, and repetition signals FUSED into one narrow projection with
+    a deterministic first-failing ``reject_reason`` (rule order:
+    too_short, bad_lang, low_quality, repetitive).
+
+    Scale shape: re-deriving all three signal families inside a single
+    select (instead of joining the standalone operators' outputs) keeps
+    the pipeline one scan + zero shuffles — each standalone operator
+    remains the unit-testable/oracle-pinned reference for its formula,
+    and this composition is pinned by its own oracle replaying the
+    fused SQL."""
+    from .text import LANG_STOPWORDS, tokens_col
+
+    toks = tokens_col()
+    dtoks = F.array_distinct(toks)
+    n_tokens = F.size(toks).cast("long")
+
+    # language ID (text.language_id's formula)
+    langs = sorted(LANG_STOPWORDS)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(dtoks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]]))
+                ).alias("hits"),
+                F.lit(-i).alias("rank"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)
+    predicted = F.when(
+        best["hits"] > 0,
+        F.element_at(F.array(*[F.lit(lang) for lang in langs]), -best["rank"] + 1),
+    ).otherwise(F.lit("und"))
+
+    # quality (text.quality_score's formula)
+    n_chars = F.length("text").cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9\\s]", ""))
+    ).cast("double")
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 6)
+    stop_hit = F.round(
+        F.size(F.array_intersect(dtoks, stop)).cast("double") / F.lit(float(len(LANG_STOPWORDS["en"]))),
+        6,
+    )
+    len_score = F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 6)
+    quality = F.round((len_score + (F.lit(1.0) - punct_ratio) + stop_hit) / F.lit(3.0), 6)
+
+    # repetition (text.repetition_metrics' formula)
+    grams = F.when(
+        F.size(toks) >= ngram_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram_n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(ngram_n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    )
+    top_frac = F.when(total > 0, F.round(top_cnt / total, 6)).otherwise(F.lit(0.0))
+
+    reason = (
+        F.when(n_tokens < min_tokens, F.lit("too_short"))
+        .when(~predicted.isin(*allowed_langs), F.lit("bad_lang"))
+        .when(quality < min_quality, F.lit("low_quality"))
+        .when(top_frac > top_frac_max, F.lit("repetitive"))
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        predicted.alias("predicted_lang"),
+        quality.alias("quality"),
+        top_frac.alias("top_ngram_frac"),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )

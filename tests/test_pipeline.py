@@ -270,3 +270,44 @@ def test_ngram_jaccard_max_df_drops_stop_shingles(spark):
     assert (0, 1) in plain, "boilerplate-only pair should pass without the prune"
     assert (0, 1) not in pruned, "stop-shingle prune must kill the boilerplate pair"
     assert (2, 3) in plain and (2, 3) in pruned, "real duplicates survive the prune"
+
+
+@pytest.mark.spark
+def test_curate_documents_matches_standalone_signals(spark):
+    """The fused curation projection must agree with the standalone
+    oracle-pinned operators on every shared column, stay shuffle-free,
+    and apply rules in first-failure order."""
+    from mhtml_to_html_spark.operators.curation import curate_documents
+    from mhtml_to_html_spark.operators.text import (
+        language_id,
+        quality_score,
+        repetition_metrics,
+    )
+
+    docs = _docs(spark)
+    fused = {r["doc_id"]: r for r in curate_documents(docs).collect()}
+    lang = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs).collect()}
+    qual = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    rep = {r["doc_id"]: r["top_ngram_frac"] for r in repetition_metrics(docs).collect()}
+    for d, r in fused.items():
+        assert r["predicted_lang"] == lang[d]
+        assert r["quality"] == qual[d]
+        assert r["top_ngram_frac"] == rep[d]
+        if r["keep"]:
+            assert r["reject_reason"] is None
+    plan = curate_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+@pytest.mark.spark
+def test_curate_documents_rule_order(spark):
+    from mhtml_to_html_spark.operators.curation import curate_documents
+
+    df = spark.createDataFrame(
+        # short AND repetitive: too_short must win (first failure)
+        [(0, "go go go"), (1, "the quick brown fox jumps over the lazy dog again today")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate_documents(df, min_quality=0.0).collect()}
+    assert out[0]["reject_reason"] == "too_short"
+    assert out[1]["keep"]
