@@ -78,17 +78,18 @@ def _canonicalize_batches(batches):
         keys = [canonicalize_url(u) for u in pdf["url"]]
         hosts = [url_host(k) or "" for k in keys]
         h64s = [url_hash64(k) for k in keys]
-        yield pd.DataFrame(
-            {
-                "url": pdf["url"],
-                "depth": pdf["depth"],
-                "disc_seq": pdf["disc_seq"],
-                "key": keys,
-                "host": hosts,
-                "host_rank": [host_rank(h) for h in hosts],
-                "h64": [h - (1 << 64) if h >= 1 << 63 else h for h in h64s],
-            }
-        )
+        out = {
+            "url": pdf["url"],
+            "depth": pdf["depth"],
+            "disc_seq": pdf["disc_seq"],
+            "key": keys,
+            "host": hosts,
+            "host_rank": [host_rank(h) for h in hosts],
+            "h64": [h - (1 << 64) if h >= 1 << 63 else h for h in h64s],
+        }
+        if "revisit" in pdf.columns:  # recrawl manifests (streaming gate)
+            out["revisit"] = pdf["revisit"]
+        yield pd.DataFrame(out)
 
 
 # --- sharded seen-set as a DataFrame of shard blobs ---------------------------

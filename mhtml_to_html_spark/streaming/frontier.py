@@ -86,6 +86,16 @@ class HostSeen:
                 self.bloom.add(v)
             self.exact = set()
 
+    def remove(self, h64: int) -> None:
+        """Forget a key (the streaming side of recrawl): exact set
+        discard, or counting-Bloom decrement past graduation — the
+        same no-false-negative-for-survivors contract as the batch
+        crawl's sharded filter deletion."""
+        if self.bloom is not None:
+            self.bloom.remove(h64)
+            return
+        self.exact.discard(h64)
+
     def state_tuple(self, fetched_total: int) -> tuple:
         return (
             _encode_seen(self.exact),
@@ -126,6 +136,11 @@ def _admit_host_batch(host: str, batch, seen: set, host_budget: int, use_robots:
     from ..frontier.seenset import url_hash64
 
     budget = host_token_budget(host, host_budget) if use_robots else host_budget
+    # revisit rows (recrawl manifests) FORGET their key first, so the
+    # unchanged exactly-once admission below re-admits exactly them
+    if "revisit" in batch.columns:
+        for r in batch[batch["revisit"].fillna(False)].itertuples():
+            seen.remove(url_hash64(r.key))
     # first-discovery-wins dedup (min disc_seq — the batch crawl's
     # min_by semantics), then the crawl priority order
     batch = (
@@ -198,6 +213,7 @@ def stream_frontier_fetch(
     host_budget: int = 8,
     use_robots: bool = False,
     graduate_after: int | None = None,
+    allow_revisit: bool = False,
 ) -> DataFrame:
     """(url, depth, disc_seq) stream → fetch-result stream.
 
@@ -206,7 +222,13 @@ def stream_frontier_fetch(
     runs in the same vectorized UDF as the batch path, so the seen-set
     KEY is identical between the two crawl shapes. ``graduate_after``
     opts a deep host's state into Bloom graduation (see
-    :class:`HostSeen`); default keeps exact byte-for-byte semantics."""
+    :class:`HostSeen`); default keeps exact byte-for-byte semantics.
+    With ``allow_revisit`` the input stream carries a ``revisit``
+    boolean column (recrawl manifests — plan_recrawl's output mapped
+    to the stream schema): revisit rows forget their key in the
+    host's state first, so the unchanged exactly-once admission
+    re-admits exactly them — the streaming shape of the batch loop's
+    recrawl injection."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -217,8 +239,9 @@ def stream_frontier_fetch(
         F.col("url").rlike("^(?i)urn:[^:]+:.+"),
         F.regexp_extract(F.col("url"), "^(?i)urn:[^:]+:(.+)$", 1),
     ).otherwise(F.col("url"))
+    canon_schema = _CANON_SCHEMA + (", revisit boolean" if allow_revisit else "")
     canon = eligible.withColumn("url", unwrapped).mapInPandas(
-        _canonicalize_batches, schema=_CANON_SCHEMA
+        _canonicalize_batches, schema=canon_schema
     )
     return canon.groupBy("host").applyInPandasWithState(
         functools.partial(

@@ -609,3 +609,75 @@ def test_streaming_gate_bloom_graduation_live(spark, tmp_path):
     batch1_keys = {r["key"] for r in outs[1]} - batch0
     # replays NEVER re-emit (bloom dedup); only the fresh URLs appear
     assert batch1_keys == {f"https://{host}/fresh/{i}" for i in range(4)}
+
+
+@pytest.mark.spark
+def test_streaming_frontier_revisit_readmits_exactly_marked_keys(spark, tmp_path):
+    """Recrawl in the streaming shape: wave 2 re-sends every URL but
+    marks only SOME as revisit=True — the gate must refetch exactly
+    the marked keys (their hashes are forgotten from the host state
+    first) and keep deduping the rest; a later unmarked duplicate of a
+    revisited key dedups again (the refetch re-seeded the state)."""
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.streaming.frontier import stream_frontier_fetch
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "url string, depth int, disc_seq long, revisit boolean"
+
+    def to_sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "append"
+        ).parquet(sink)
+
+    def run_wave(rows):
+        # a wave that dedups EVERYTHING emits zero rows, so "max
+        # batch_id in the sink" would return the previous wave — track
+        # the sink watermark instead
+        import os
+
+        prev = (
+            spark.read.parquet(sink).agg({"batch_id": "max"}).collect()[0][0]
+            if os.path.exists(sink)
+            else -1
+        )
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        q = (
+            stream_frontier_fetch(
+                spark.readStream.schema(schema).parquet(str(src)),
+                host_budget=10,
+                allow_revisit=True,
+            )
+            .writeStream.foreachBatch(to_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(sink)
+        return [
+            r.asDict() for r in out.filter(out.batch_id > (prev if prev is not None else -1)).collect()
+        ]
+
+    urls = [f"https://h1.example.com/p{i}" for i in range(6)]
+    wave1 = run_wave([(u, 0, i, False) for i, u in enumerate(urls)])
+    assert {r["status"] for r in wave1} <= {"ok", "failed"}
+    assert len(wave1) == 6
+
+    revisit = {urls[1], urls[4]}
+    wave2 = run_wave(
+        [(u, 0, 100 + i, u in revisit) for i, u in enumerate(urls)]
+    )
+    refetched = {r["key"] for r in wave2 if r["status"] in ("ok", "failed")}
+    assert refetched == {f"https://h1.example.com/p1", f"https://h1.example.com/p4"}
+
+    # wave 3: plain duplicates again — nothing refetches (revisited
+    # keys were re-seeded into the state by their wave-2 fetch)
+    wave3 = run_wave([(u, 0, 200 + i, False) for i, u in enumerate(urls)])
+    assert [r for r in wave3 if r["status"] in ("ok", "failed")] == []
