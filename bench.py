@@ -113,8 +113,12 @@ def main():
         "dedup_simhash",
         "text_quality",
         "text_langid",
+        "text_repetition",
+        "docs_curate",
         "sim_cosine_topk",
         "sim_lsh_topk",
+        "sim_pq_topk",
+        "sim_ivfpq_topk",
     ]
     # steady-state protocol: one untimed WARM pass of every unit first
     # (OS page cache for the sf parquet, codegen/JIT for each query's
