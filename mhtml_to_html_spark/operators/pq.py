@@ -256,3 +256,95 @@ def ivfpq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iter: int = 2,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize an IVFADC index: coarse centroids route vectors,
+    residual-PQ codes are written PARTITIONED BY CELL (the n_probe
+    filter becomes a PartitionFilter — the scan physically reads
+    n_probe/n_cells of the files), codebooks persist alongside.
+    Rows store only (vec_id, code0..code{m-1}) — m small ints per
+    vector, the PQ compression promise made durable. Returns
+    (coarse_centroids, pq_codebooks)."""
+    from .kmeans import _assign, lloyd
+
+    spark = embeddings.sparkSession
+    cents, _ = lloyd(embeddings, k=n_cells, n_iter=n_iter)
+    routed = _assign(embeddings, cents)
+    cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    residual = F.zip_with(
+        "embedding",
+        F.element_at(cent_lit, F.col("cid") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    res = routed.select(
+        "vec_id", F.col("cid").alias("cell"), residual.alias("embedding")
+    ).localCheckpoint(eager=True)
+    books = pq_train(res, m=m, n_codes=n_codes, n_iter=n_iter)
+    enc = pq_encode(res, books, keep_cols=("cell",))
+    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, c array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    book_rows = [
+        (s, code, books[s][code]) for s in range(m) for code in range(n_codes)
+    ]
+    spark.createDataFrame(
+        book_rows, "s int, code int, c array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return cents, books
+
+
+def ivfpq_query(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Top-k over a materialized IVFADC index: codebooks are a driver
+    read (k×dim + m×n_codes×sub floats), the probe cells prune the
+    codes scan at the PARTITION level, and ranking is per-cell
+    residual ADC over the m-int code rows — the full IVFADC promise
+    from storage: read n_probe/n_cells of a codes table that is
+    already ~dim·4/m× smaller than the vectors."""
+    cents_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = {r["cid"]: [float(v) for v in r["c"]] for r in cents_rows}
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["s"] for r in book_rows)
+    n_codes = 1 + max(r["code"] for r in book_rows)
+    books: list[list[list[float]]] = [[None] * n_codes for _ in range(m)]
+    for r in book_rows:
+        books[r["s"]][r["code"]] = [float(v) for v in r["c"]]
+    qv = [float(v) for v in query_vec]
+
+    def _d(c):
+        acc = 0.0
+        for a, b in zip(qv, c):
+            acc += (a - b) * (a - b)
+        return acc
+
+    probe_cells = sorted(cents, key=lambda cid: (_d(cents[cid]), cid))[:n_probe]
+
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probe_cells))
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+    adc = None
+    for cell in probe_cells:
+        qres = [qv[j] - cents[cell][j] for j in range(len(qv))]
+        branch = _adc_expr(_adc_tables(qres, books))
+        cond = F.col("cell") == cell
+        adc = F.when(cond, branch) if adc is None else adc.when(cond, branch)
+    return (
+        codes.select("vec_id", F.col("cell").cast("int").alias("cell"), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -92,3 +92,27 @@ def test_ivfpq_deterministic_and_probe_prunes(spark):
     # results only come from the probed cells
     cells = {t[1] for t in a}
     assert len(cells) <= 2
+
+
+@pytest.mark.spark
+def test_materialized_ivfpq_index_prunes_partitions(spark, tmp_path):
+    """write_ivfpq_index + ivfpq_query: results equal the in-memory
+    ivfpq_topk, and the probe filter reaches the codes scan as a
+    PartitionFilter (the prune is physical, not just logical)."""
+    from mhtml_to_html_spark.operators.pq import (
+        ivfpq_query,
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, n_cells=4, m=4, n_codes=8, n_iter=2)
+    q_emb = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    from_index = ivfpq_query(spark, path, q_emb, k=10, n_probe=2, exclude_vec_id=0)
+    in_memory = ivfpq_topk(emb, 0, 10, n_cells=4, n_probe=2, m=4, n_codes=8, n_iter=2)
+    assert [tuple(r) for r in from_index.collect()] == [
+        tuple(r) for r in in_memory.collect()
+    ]
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:120]
