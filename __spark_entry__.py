@@ -341,6 +341,12 @@ def q_docs_curate(spark, sf_dir):
     return curate_documents(_load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_text_bm25(spark, sf_dir):
+    from mhtml_to_html_spark.operators.text import bm25_topk
+
+    return bm25_topk(_load(spark, sf_dir, "documents"), "table scan window", k=10)
+
+
 def q_events_sessionize(spark, sf_dir):
     from mhtml_to_html_spark.operators.events import sessionize_batch
 
@@ -1935,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "image_caption_filter": q_image_caption_filter,
         "docs_curate": q_docs_curate,
+        "text_bm25": q_text_bm25,
         "events_sessionize": q_events_sessionize,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_stratified_sample": q_pipe_stratified_sample,
@@ -2221,6 +2228,23 @@ flagged AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, predicted_lang, quality, top_ngram_frac,
        reject_reason IS NULL AS keep, reject_reason
 FROM flagged ORDER BY doc_id""",
+        "text_bm25": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl FROM lens),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+       WHERE term IN ('scan', 'table', 'window') GROUP BY 1, 2),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * (1.2 + 1.0))
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avg_dl))), 6) AS bm25
+  FROM tf t JOIN dfs d USING (term) JOIN lens l USING (doc_id) CROSS JOIN stats s
+  GROUP BY t.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 10""",
         "events_sessionize": """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,

@@ -171,3 +171,64 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
             F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones): the query's
+    ``k`` best documents by the standard Okapi formula with
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Shape at scale:
+    - per-doc term frequencies come from ONE explode + partial-agg
+      groupBy, pre-filtered to the query's terms (a literal array —
+      the filter prunes the explode output before the shuffle, so only
+      matching-term rows move);
+    - document lengths are a second partial agg over the same scan;
+    - document frequencies for the handful of query terms are a tiny
+      agg whose result BROADCASTS back (the classic tiny-dim join);
+    - the final score is one groupBy(doc) sum + top-k via
+      TakeOrderedAndProject. No UDFs anywhere.
+    Determinism: round(6) at the score boundary, ties to lowest
+    doc_id; N/avg_len enter as exact aggregates."""
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("empty query")
+    q_lit = F.array(*[F.lit(t) for t in q_terms])
+
+    toks = tokens_col()
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(toks).alias("term")
+    ).filter(F.array_contains(q_lit, F.col("term")))
+    tf = base.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+
+    lens = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+    )
+    stats = lens.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    ).collect()[0]
+    n_docs, avg_dl = float(stats["n_docs"]), float(stats["avg_dl"])
+
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(lens, "doc_id")
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avg_dl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)

@@ -311,3 +311,32 @@ def test_curate_documents_rule_order(spark):
     out = {r["doc_id"]: r for r in curate_documents(df, min_quality=0.0).collect()}
     assert out[0]["reject_reason"] == "too_short"
     assert out[1]["keep"]
+
+
+@pytest.mark.spark
+def test_bm25_ranks_relevance_and_df_discrimination(spark):
+    """A doc matching the rare query term must outrank docs repeating
+    a common term (idf discrimination), term frequency saturates (k1),
+    and the df table broadcast-joins."""
+    from mhtml_to_html_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "needle in a haystack of words here today"),
+        (1, "common common common common common words words"),
+        (2, "common words and more filler text here now"),
+        (3, "common unrelated content about nothing at all"),
+        (4, "totally unrelated filler about nothing at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, "needle common", k=5).collect()
+    # 'common' hits 3/5 docs (low idf); even tf=5 cannot outrank the
+    # df=1 'needle' match
+    assert got[0]["doc_id"] == 0, "rare-term match must rank first"
+    ids = [r["doc_id"] for r in got]
+    assert 4 not in ids, "non-matching docs never score"
+    scores = [r["bm25"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    plan = bm25_topk(df, "needle common")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(df, "   ")
