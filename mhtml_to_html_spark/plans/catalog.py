@@ -214,3 +214,55 @@ class SnapshotCatalog:
         if parent is not None:
             self._carry_parent_refs(snapshot_id, parent, exclude=name)
         return snapshot_id
+
+    # -- retention -----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, Any]:
+        """Iceberg ``expire_snapshots`` in miniature: drop all but the
+        last ``keep_last`` snapshots and garbage-collect their data
+        files — EXCEPT table directories still referenced by a retained
+        manifest (merge/compact carry unchanged sibling tables by
+        reference to the parent's files, so an expired snapshot's data
+        can outlive its manifest; references are stored as resolved
+        paths, so direct reachability is the full closure).
+
+        The manifest goes first — the snapshot stops being listable/
+        time-travelable even while referenced data dirs survive. The
+        oldest retained manifest's parent pointer dangles afterwards
+        (Iceberg's expired-parent behavior). Returns expired/retained
+        ids and the number of files removed."""
+        import shutil
+
+        ids = self.list_snapshots()
+        retained = ids[-keep_last:] if keep_last > 0 else []
+        expired = [i for i in ids if i not in retained]
+        reachable = set()
+        for sid in retained:
+            man = self.manifest(sid)
+            for name, entry in man["tables"].items():
+                path = entry.get("path") or os.path.join(self._snap_dir(sid), name)
+                reachable.add(os.path.normpath(path))
+        removed_files = 0
+        for sid in expired:
+            sdir = self._snap_dir(sid)
+            mpath = os.path.join(sdir, "manifest.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+                removed_files += 1
+            for name in os.listdir(sdir):
+                p = os.path.normpath(os.path.join(sdir, name))
+                if p in reachable:
+                    continue
+                if os.path.isdir(p):
+                    removed_files += sum(len(fs) for _, _, fs in os.walk(p))
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
+                    removed_files += 1
+            if not os.listdir(sdir):
+                os.rmdir(sdir)
+        return {
+            "expired": expired,
+            "retained": retained,
+            "removed_files": removed_files,
+        }

@@ -100,3 +100,38 @@ def test_compact_table_rewrites_files_not_rows(spark, tmp_path):
     assert got == want and len(got) == 40
     assert "path" in cat.manifest(s1)["tables"]["meta"]
     assert cat.manifest(s1)["metrics"]["compacted"] == "images"
+
+
+@pytest.mark.spark
+def test_expire_snapshots_gc_respects_references(spark, tmp_path):
+    """Expiring old snapshots must NOT delete data dirs a retained
+    manifest still references (merge carries unchanged siblings by
+    reference to the parent's files), while everything unreferenced in
+    the expired snapshot goes away and time travel to it stops."""
+    import os
+
+    from mhtml_to_html_spark.plans.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    a0 = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    b0 = spark.createDataFrame([(10,)], "z long")
+    s0 = cat.write_snapshot({"a": a0, "b": b0})
+    # merge b -> snap1 carries 'a' BY REFERENCE to snap0's files
+    s1 = cat.merge_table(spark, "b", spark.createDataFrame([(11,)], "z long"), ["z"])
+    s2 = cat.write_snapshot({"c": spark.createDataFrame([(7,)], "w long")})
+    assert cat.manifest(s1)["tables"]["a"]["path"].endswith("snap_000000/a")
+
+    out = cat.expire_snapshots(keep_last=2)
+    assert out["expired"] == [s0] and out["retained"] == [s1, s2]
+    assert cat.list_snapshots() == [s1, s2]
+    # snap0's manifest is gone; its 'b' data dir is gone; its 'a' dir
+    # SURVIVES because snap1 references it
+    s0_dir = cat._snap_dir(s0)
+    assert not os.path.exists(os.path.join(s0_dir, "manifest.json"))
+    assert not os.path.exists(os.path.join(s0_dir, "b"))
+    assert os.path.exists(os.path.join(s0_dir, "a"))
+    # the referenced table still loads through the retained manifest
+    rows = sorted(tuple(r) for r in cat.load_table(spark, s1, "a").collect())
+    assert rows == [(1, "x"), (2, "y")]
+    with pytest.raises(FileNotFoundError):
+        cat.manifest(s0)

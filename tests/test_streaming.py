@@ -681,3 +681,47 @@ def test_streaming_frontier_revisit_readmits_exactly_marked_keys(spark, tmp_path
     # keys were re-seeded into the state by their wave-2 fetch)
     wave3 = run_wave([(u, 0, 200 + i, False) for i, u in enumerate(urls)])
     assert [r for r in wave3 if r["status"] in ("ok", "failed")] == []
+
+
+def test_admit_host_batch_revisit_kernel_shared_by_both_bindings():
+    """The revisit path lives in the SHARED admission kernel, so both
+    stateful bindings get it: a batch with revisit-marked keys forgets
+    them from the host's seen set and refetches exactly them."""
+    import pandas as pd
+
+    from mhtml_to_html_spark.frontier.fixtures import host_rank
+    from mhtml_to_html_spark.frontier.seenset import url_hash64
+    from mhtml_to_html_spark.streaming.frontier import HostSeen, _admit_host_batch
+
+    host = "host0.example.com"
+    keys = [f"https://{host}/p{i}" for i in range(4)]
+    seen = HostSeen({url_hash64(k) for k in keys})  # everything seen
+
+    batch = pd.DataFrame(
+        {
+            "key": keys,
+            "url": keys,
+            "host": [host] * 4,
+            "depth": [0] * 4,
+            "host_rank": [host_rank(host)] * 4,
+            "disc_seq": list(range(4)),
+            "revisit": [False, True, False, True],
+        }
+    )
+    rows, admitted = _admit_host_batch(host, batch, seen, host_budget=10, use_robots=False)
+    fetched = {r["key"] for r in rows if r["status"] in ("ok", "failed")}
+    assert fetched == {keys[1], keys[3]}
+    assert admitted == 2
+    # refetched keys are re-seeded: a plain re-send dedups everything
+    batch2 = batch.assign(revisit=[False] * 4)
+    rows2, admitted2 = _admit_host_batch(host, batch2, seen, host_budget=10, use_robots=False)
+    assert rows2 == [] and admitted2 == 0
+    # Bloom-graduated state honors revisit the same way (counting
+    # decrements; survivors keep no-false-negative)
+    gseen = HostSeen(graduate_after=2)
+    for k in keys:
+        gseen.add(url_hash64(k))
+    assert gseen.bloom is not None  # graduated
+    rows3, _ = _admit_host_batch(host, batch, gseen, host_budget=10, use_robots=False)
+    fetched3 = {r["key"] for r in rows3 if r["status"] in ("ok", "failed")}
+    assert fetched3 == {keys[1], keys[3]}
