@@ -2159,13 +2159,15 @@ imgs AS (
          array_to_string(toks[1:(1 + doc_id % 60)::INT], ' ') AS caption
   FROM t),
 scored AS (
-  SELECT image_id, w, h, fmt,
+  SELECT image_id, w, h, fmt, caption,
          len(list_filter(string_split_regex(lower(caption), '\\s+'), x -> x <> '')) AS caption_tokens,
          round(greatest(w, h)::DOUBLE / least(w, h), 6) AS aspect
   FROM imgs),
 flagged AS (
   SELECT *,
-         CASE WHEN caption_tokens < 5 THEN 'caption_short'
+         CASE WHEN caption IS NULL OR fmt IS NULL OR w IS NULL OR h IS NULL
+                   THEN 'missing_field'
+              WHEN caption_tokens < 5 THEN 'caption_short'
               WHEN caption_tokens > 50 THEN 'caption_long'
               WHEN least(w, h) < 128 THEN 'too_small'
               WHEN aspect > 2.0 THEN 'bad_aspect'

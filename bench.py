@@ -139,18 +139,19 @@ def main():
     # report a 10x outlier for one query; the minimum over interleaved
     # repeats is the honest steady-state capability number
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
-    timings = {}
-    total = 0.0
+    best = {}
     results_by_name = {}
-    for name, fn in units:
-        best = None
-        for _ in range(repeats):
+    # interleave at the pass level (all units, then all units again):
+    # a co-tenant load spike then hits each unit's repeats in DIFFERENT
+    # time windows, so min-of-N actually decorrelates the noise
+    for _ in range(repeats):
+        for name, fn in units:
             start = time.perf_counter()
             results_by_name[name] = fn()
             elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        total += best
+            best[name] = elapsed if name not in best else min(best[name], elapsed)
+    timings = {name: round(best[name], 3) for name, _ in units}
+    total = sum(best.values())
 
     n_images = results_by_name["mhtml_decode"]
     decode_sec = timings["mhtml_decode"]

@@ -73,11 +73,15 @@ def main(argv: list[str] | None = None, fetch=None) -> int:
     # non-glob input, and gets ".html" appended when missing; with
     # multiple inputs the reference ignores it — we extend that case to
     # "write into it if it is a directory" and warn otherwise.
+    # a single non-glob INPUT can still be a directory (binaryFile
+    # reads every archive inside), so the exact-path branch also
+    # requires exactly one converted page — otherwise pages would
+    # silently overwrite each other in one file
     single_input = len(args.inputs) == 1 and not any(c in args.inputs[0] for c in "*?[{")
     single_output = None
     out_dir_opt = None
     if args.output:
-        if single_input and not os.path.isdir(args.output):
+        if single_input and len(pages) == 1 and not os.path.isdir(args.output):
             single_output = args.output
             if not single_output.endswith(".html"):
                 single_output += ".html"
@@ -85,7 +89,7 @@ def main(argv: list[str] | None = None, fetch=None) -> int:
             out_dir_opt = args.output
         else:
             print(
-                f"--output {args.output} ignored: multiple inputs and not a directory",
+                f"--output {args.output} ignored: multiple pages and not a directory",
                 file=sys.stderr,
             )
     for row in pages:

@@ -394,6 +394,7 @@ def crawl_spark(
     empty_keys = spark.createDataFrame([], "key string, h64 long")
     start_round = 0
     disc_total = 0
+    resumed_recrawls_done = 0
 
     empty_robots = spark.createDataFrame(
         [], "host string, disallow string, crawl_delay_level int"
@@ -416,6 +417,7 @@ def crawl_spark(
         failed = catalog.load_table(spark, snap, "failed")
         start_round = manifest["round"] + 1
         disc_total = manifest["metrics"]["disc_total"]
+        resumed_recrawls_done = int(manifest["metrics"].get("recrawls_done", 0))
         order_acc = catalog.load_table(spark, snap, "order")
         result.metrics = manifest["metrics"].get("rounds", [])
         if use_robots:
@@ -462,7 +464,12 @@ def crawl_spark(
     expected_frontier = frontier.count()
     seen_total = sum(m["fetched"] + m.get("blocked", 0) for m in result.metrics)
     n_par = max(spark.sparkContext.defaultParallelism, 4)
-    recrawls_done = 0
+    # the injection budget must survive resume: a resumed crawl that
+    # forgot its past injections would exceed max_recrawls and diverge
+    # from both the oracle and the uninterrupted run
+    recrawls_done = resumed_recrawls_done if start_round > 0 else 0
+    robots_large = False
+    n_debt_hosts = 0
 
     for round_idx in range(start_round, max_rounds):
         # 0. recrawl injection: when the frontier drains with rounds
@@ -584,10 +591,12 @@ def crawl_spark(
                 _robots_batches, schema="host string, disallow string, crawl_delay_level int"
             )
             robots_cache = robots_cache.unionByName(fetched_rules).localCheckpoint(eager=True)
-            if robots_cache.count() <= robots_broadcast_threshold:
-                robots_side = F.broadcast(robots_cache)
-            else:
-                robots_side = robots_cache
+            # the cache only grows, so once it crosses the threshold the
+            # hash join latches — the count() job runs only while the
+            # table is small (and stops forever after the crossing)
+            if not robots_large and robots_cache.count() > robots_broadcast_threshold:
+                robots_large = True
+            robots_side = robots_cache if robots_large else F.broadcast(robots_cache)
             with_rules = candidates.join(robots_side, "host", "left")
             path = F.regexp_replace(F.col("key"), "^[a-zA-Z]+://[^/]+", "")
             allowed = F.col("disallow").isNull() | ~path.startswith(F.col("disallow"))
@@ -630,9 +639,10 @@ def crawl_spark(
             # The debt table only holds overflowed hosts — tiny in the
             # common case (broadcast), hash join on `host` above the
             # threshold where its exchange feeds the politeness window
-            if debt_df is not empty_debt and (
-                debt_df.count() > robots_broadcast_threshold
-            ):
+            # n_debt_hosts came out of LAST round's politeness agg —
+            # no extra count() job (resume conservatively broadcasts:
+            # the table holds only overflowed hosts)
+            if n_debt_hosts > robots_broadcast_threshold:
                 debt_side = debt_df
             else:
                 debt_side = F.broadcast(debt_df)
@@ -669,7 +679,11 @@ def crawl_spark(
             F.sum(
                 (F.col("host_pos") <= F.col("token_budget")).cast("long")
             ).alias("fetchable"),
+            F.count_distinct(
+                F.when(F.col("host_pos") > F.col("token_budget"), F.col("host"))
+            ).alias("debt_hosts"),
         ).collect()[0]
+        n_debt_hosts = int(bcounts["debt_hosts"] or 0)
         if int(bcounts["n"] or 0) == 0:
             # zero-fetch round (every frontier row deduped away): no
             # metrics row, same as the oracle — the next iteration
@@ -834,7 +848,12 @@ def crawl_spark(
                 tables["debt"] = debt_df
             snap = catalog.write_snapshot(
                 tables,
-                metrics={"rounds": result.metrics, "disc_total": disc_total, **round_metrics},
+                metrics={
+                    "rounds": result.metrics,
+                    "disc_total": disc_total,
+                    "recrawls_done": recrawls_done,
+                    **round_metrics,
+                },
                 round_idx=round_idx,
             )
             result.snapshots.append(snap)

@@ -30,14 +30,23 @@ def caption_pair_filter(
     """(image_id, w, h, fmt, caption_tokens, aspect, keep,
     reject_reason): admission decision per image–caption pair.
 
-    Rule order (first failure wins): caption_short, caption_long,
-    too_small, bad_aspect, bad_format."""
+    Rule order (first failure wins): missing_field (NULL caption/fmt/
+    dimensions — without it every NULL comparison below is NULL and a
+    broken row would sail through as keep=true), caption_short,
+    caption_long, too_small, bad_aspect, bad_format."""
     cap_toks = F.size(F.filter(F.split(F.lower(F.col("caption")), "\\s+"), lambda t: t != ""))
     aspect = F.round(
         F.greatest(F.col("w"), F.col("h")) / F.least(F.col("w"), F.col("h")), 6
     )
+    missing = (
+        F.col("caption").isNull()
+        | F.col("fmt").isNull()
+        | F.col("w").isNull()
+        | F.col("h").isNull()
+    )
     reason = (
-        F.when(cap_toks < min_caption_tokens, F.lit("caption_short"))
+        F.when(missing, F.lit("missing_field"))
+        .when(cap_toks < min_caption_tokens, F.lit("caption_short"))
         .when(cap_toks > max_caption_tokens, F.lit("caption_long"))
         .when(F.least(F.col("w"), F.col("h")) < min_side, F.lit("too_small"))
         .when(aspect > max_aspect, F.lit("bad_aspect"))

@@ -243,14 +243,24 @@ class SnapshotCatalog:
                 path = entry.get("path") or os.path.join(self._snap_dir(sid), name)
                 reachable.add(os.path.normpath(path))
         removed_files = 0
-        for sid in expired:
-            sdir = self._snap_dir(sid)
+        # sweep EVERY snapshot dir, not just ids with manifests: a dir
+        # expired earlier may have kept data that a then-retained
+        # manifest referenced — once that manifest is itself replaced
+        # or expired, the orphaned data must finally be collected
+        base = os.path.join(self.root, "snapshots")
+        for name in sorted(os.listdir(base)):
+            if not name.startswith("snap_"):
+                continue
+            sid = int(name.split("_")[1])
+            if sid in retained:
+                continue
+            sdir = os.path.join(base, name)
             mpath = os.path.join(sdir, "manifest.json")
             if os.path.exists(mpath):
                 os.remove(mpath)
                 removed_files += 1
-            for name in os.listdir(sdir):
-                p = os.path.normpath(os.path.join(sdir, name))
+            for entry_name in os.listdir(sdir):
+                p = os.path.normpath(os.path.join(sdir, entry_name))
                 if p in reachable:
                     continue
                 if os.path.isdir(p):

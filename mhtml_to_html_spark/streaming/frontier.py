@@ -137,10 +137,18 @@ def _admit_host_batch(host: str, batch, seen: set, host_budget: int, use_robots:
 
     budget = host_token_budget(host, host_budget) if use_robots else host_budget
     # revisit rows (recrawl manifests) FORGET their key first, so the
-    # unchanged exactly-once admission below re-admits exactly them
+    # unchanged exactly-once admission below re-admits exactly them.
+    # Deduplicate the keys and remove only MEMBERS: an at-least-once
+    # feeder can deliver the same revisit twice (or one for a key
+    # never fetched), and an unchecked remove on a graduated
+    # counting-Bloom would drain counters shared with OTHER seen keys
+    # — a false negative for a survivor (the batch loop gets the same
+    # guarantee from its exact-seen-table semi-join)
     if "revisit" in batch.columns:
-        for r in batch[batch["revisit"].fillna(False)].itertuples():
-            seen.remove(url_hash64(r.key))
+        for rkey in {r.key for r in batch[batch["revisit"].fillna(False)].itertuples()}:
+            h = url_hash64(rkey)
+            if h in seen:
+                seen.remove(h)
     # first-discovery-wins dedup (min disc_seq — the batch crawl's
     # min_by semantics), then the crawl priority order
     batch = (

@@ -105,3 +105,21 @@ def test_empty_input_prints_usage_exit_1(capsys):
     """mod.js:20-38: empty input → usage + exit 1 (not argparse's 2)."""
     assert main([]) == 1
     assert "usage" in capsys.readouterr().err.lower()
+
+
+@pytest.mark.spark
+def test_directory_input_with_file_output_does_not_overwrite(tmp_path, capsys):
+    """A single DIRECTORY input yields many pages: a non-directory
+    --output must NOT funnel them all into one file (silent data loss);
+    each page lands next to its archive and the flag is warned about."""
+    src = tmp_path / "arcs"
+    src.mkdir()
+    for i in range(2):
+        (src / f"arc{i}.mht").write_bytes(build_archive(i, 2))
+    out = tmp_path / "single.html"
+    code = main([str(src), "--output", str(out), "--master", "local[2]"])
+    assert code == 0
+    assert not out.exists(), "pages must not overwrite each other into one file"
+    for i in range(2):
+        assert (src / f"arc{i}.html").exists()
+    assert "ignored" in capsys.readouterr().err

@@ -135,3 +135,27 @@ def test_expire_snapshots_gc_respects_references(spark, tmp_path):
     assert rows == [(1, "x"), (2, "y")]
     with pytest.raises(FileNotFoundError):
         cat.manifest(s0)
+
+
+@pytest.mark.spark
+def test_expire_snapshots_collects_orphans_once_unreferenced(spark, tmp_path):
+    """A data dir that survived an earlier expiration by reference must
+    be collected by a LATER expiration once no retained manifest
+    references it anymore (the sweep covers manifest-less dirs)."""
+    import os
+
+    from mhtml_to_html_spark.plans.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    s0 = cat.write_snapshot({"a": spark.createDataFrame([(1,)], "k long"),
+                             "b": spark.createDataFrame([(9,)], "z long")})
+    s1 = cat.merge_table(spark, "b", spark.createDataFrame([(10,)], "z long"), ["z"])
+    s2 = cat.write_snapshot({"x": spark.createDataFrame([(5,)], "w long")})
+    cat.expire_snapshots(keep_last=2)  # s0 expired; s0/a survives via s1's ref
+    assert os.path.exists(os.path.join(cat._snap_dir(s0), "a"))
+    # two more snapshots REWRITING 'a': s1's ref manifest rotates out
+    cat.write_snapshot({"a": spark.createDataFrame([(2,)], "k long")})
+    s4 = cat.write_snapshot({"y": spark.createDataFrame([(6,)], "v long")})
+    cat.expire_snapshots(keep_last=2)
+    # nothing retained references snap0 anymore: the orphan is gone
+    assert not os.path.exists(cat._snap_dir(s0))

@@ -340,3 +340,25 @@ def test_bm25_ranks_relevance_and_df_discrimination(spark):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError, match="empty query"):
         bm25_topk(df, "   ")
+
+
+@pytest.mark.spark
+def test_caption_pair_filter_rejects_null_fields(spark):
+    """NULL caption/fmt/dimensions must NOT sail through as keep=true
+    (every comparison against NULL is NULL): explicit missing_field
+    rule fires first."""
+    from mhtml_to_html_spark.operators.curation import caption_pair_filter
+
+    df = spark.createDataFrame(
+        [
+            ("nullcap", 300, 400, "jpeg", None),
+            ("nullfmt", 300, 400, None, "one two three four five six"),
+            ("nullw", None, 400, "jpeg", "one two three four five six"),
+            ("ok", 300, 400, "jpeg", "one two three four five six"),
+        ],
+        "image_id string, w int, h int, fmt string, caption string",
+    )
+    out = {r["image_id"]: r for r in caption_pair_filter(df).collect()}
+    for bad in ("nullcap", "nullfmt", "nullw"):
+        assert out[bad]["reject_reason"] == "missing_field" and not out[bad]["keep"]
+    assert out["ok"]["keep"]

@@ -111,3 +111,27 @@ def test_seenset_remove_no_false_negative_for_survivors():
     for k in keys:
         if k not in removed:
             assert s.might_contain(k), f"false negative for surviving key {k}"
+
+
+@pytest.mark.spark
+def test_recrawl_budget_survives_resume(spark, tmp_path):
+    """max_recrawls must bind ACROSS resume: a crawl checkpointed after
+    its injection and resumed must not inject again — the resumed run
+    reproduces the uninterrupted schedule byte-for-byte."""
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    kw = dict(
+        max_rounds=10, host_budget=50, fanout=1, n_hosts=1,
+        recrawl_budget=2, max_recrawls=1,
+    )
+    o = crawl_oracle(SEEDS_1HOST, **kw)
+    rec_rounds = [m["round"] for m in o.metrics if m["recrawled"]]
+    assert rec_rounds == [3], "fixture: single injection at round 3"
+    ckpt = str(tmp_path / "ckpt")
+    # stop right AFTER the injection round is checkpointed...
+    crawl_spark(spark, SEEDS_1HOST, checkpoint_dir=ckpt, **{**kw, "max_rounds": 4})
+    # ...and resume: recrawls_done must come back as 1 (no 2nd injection)
+    r = crawl_spark(spark, SEEDS_1HOST, checkpoint_dir=ckpt, resume=True, **kw)
+    assert r.order == o.order
+    assert r.seen == o.seen and r.failed == o.failed
+    assert [m["recrawled"] for m in r.metrics] == [m["recrawled"] for m in o.metrics]
