@@ -2,10 +2,13 @@
 
 Each round (the Spark shape of SURVEY.md §3.3):
 
+    [drained? recrawl injection: stalest-per-host revisits re-enter;
+     their keys DELETED from the exact seen table + hybrid filter]
     frontier ──canonicalize──▶ dedup-first (min_by on key)
              ──sharded bloom+cuckoo prune + exact anti-join──▶ new candidates
              ──salted repartitionByRange + secondary sort──▶ priority
-             ──per-host budget window──▶ fetch_now / deferred
+             ──per-host budget window (+ opt-in politeness-debt boost,
+               robots token-bucket)──▶ fetch_now / deferred
              ──fetch UDF (scripted double, retry/backoff)──▶ results
              ──explode children──▶ discovered
     seen/failed/metrics updated; snapshot checkpoint; repeat.
