@@ -410,6 +410,20 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_sim_opq_topk(spark, sf_dir):
+    """OPQ (rotation-trained PQ) top-k. SVD has no portable DuckDB
+    twin, so this entry is deliberately ORACLE-LESS: the driver records
+    the weaker rows-only check (the brief's documented path for
+    iterative linear-algebra operators); determinism + recall-vs-PQ
+    are pinned by tests/test_pq.py."""
+    from mhtml_to_html_spark.operators.opq import opq_topk
+
+    return opq_topk(
+        _load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
+        m=4, n_codes=8, n_iter=2, n_opq_iter=2,
+    )
+
+
 def q_sim_ann_recall(spark, sf_dir):
     from mhtml_to_html_spark.operators.similarity import ann_recall
 
@@ -1936,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_trained": q_sim_ivf_trained,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_opq_topk": q_sim_opq_topk,
         "sim_ann_recall": q_sim_ann_recall,
         "text_corpus_stats": q_text_corpus_stats,
         "text_repetition": q_text_repetition,

@@ -116,3 +116,57 @@ def test_materialized_ivfpq_index_prunes_partitions(spark, tmp_path):
     ]
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:120]
+
+
+def _correlated(spark, n=240, dim=16, latent=4):
+    """Anisotropic data (latent low-rank signal mixed across dims) —
+    the regime where plain PQ loses accuracy to subspace correlation
+    and OPQ's learned rotation wins it back."""
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(latent, dim))
+    rows = []
+    for i in range(n):
+        z = rng.normal(size=latent)
+        x = z @ A + rng.normal(scale=0.05, size=dim)
+        rows.append((int(i), [round(float(v), 6) for v in x]))
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.mark.spark
+def test_opq_beats_plain_pq_on_correlated_data(spark):
+    from mhtml_to_html_spark.operators.opq import opq_topk
+    from mhtml_to_html_spark.operators.pq import pq_topk
+
+    rows, df = _correlated(spark)
+    df = df.localCheckpoint()
+
+    def exact(qid, k=10):
+        q = np.array(rows[qid][1])
+        d = [(float(np.sum((np.array(r[1]) - q) ** 2)), r[0]) for r in rows if r[0] != qid]
+        return {v for _, v in sorted(d)[:k]}
+
+    k, rec_pq, rec_opq = 10, 0.0, 0.0
+    for qid in (0, 7, 13):
+        ex = exact(qid, k)
+        got_pq = {r["vec_id"] for r in pq_topk(df, qid, k, m=4, n_codes=8, n_iter=2).collect()}
+        got_opq = {
+            r["vec_id"]
+            for r in opq_topk(df, qid, k, m=4, n_codes=8, n_iter=2, n_opq_iter=2).collect()
+        }
+        rec_pq += len(got_pq & ex) / k
+        rec_opq += len(got_opq & ex) / k
+    assert rec_opq >= rec_pq, f"OPQ recall {rec_opq/3:.2f} < PQ {rec_pq/3:.2f}"
+
+
+@pytest.mark.spark
+def test_opq_rotation_is_orthogonal_and_deterministic(spark):
+    from mhtml_to_html_spark.operators.opq import opq_train, opq_topk
+
+    _, df = _correlated(spark, n=80)
+    df = df.localCheckpoint()
+    R, books = opq_train(df, m=4, n_codes=4, n_iter=1, n_opq_iter=2)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8), "R not orthogonal"
+    assert len(books) == 4 and len(books[0]) == 4
+    a = [tuple(r) for r in opq_topk(df, 0, 5, m=4, n_codes=4, n_iter=1).collect()]
+    b = [tuple(r) for r in opq_topk(df, 0, 5, m=4, n_codes=4, n_iter=1).collect()]
+    assert a == b
