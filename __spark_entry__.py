@@ -347,6 +347,12 @@ def q_text_bm25(spark, sf_dir):
     return bm25_topk(_load(spark, sf_dir, "documents"), "table scan window", k=10)
 
 
+def q_text_unigram_nll(spark, sf_dir):
+    from mhtml_to_html_spark.operators.text import unigram_nll
+
+    return unigram_nll(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_events_sessionize(spark, sf_dir):
     from mhtml_to_html_spark.operators.events import sessionize_batch
 
@@ -1957,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_filter": q_image_caption_filter,
         "docs_curate": q_docs_curate,
         "text_bm25": q_text_bm25,
+        "text_unigram_nll": q_text_unigram_nll,
         "events_sessionize": q_events_sessionize,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_stratified_sample": q_pipe_stratified_sample,
@@ -2262,6 +2269,15 @@ scored AS (
   GROUP BY t.doc_id)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25 FROM scored
 ORDER BY bm25 DESC, doc_id LIMIT 10""",
+        "text_unigram_nll": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY term),
+g AS (SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS v FROM vocab)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(ln((vocab.cnt + 0.5) / (g.total + 0.5 * g.v))), 6) AS nll
+FROM toks t JOIN vocab USING (term) CROSS JOIN g
+GROUP BY t.doc_id ORDER BY doc_id""",
         "events_sessionize": """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,

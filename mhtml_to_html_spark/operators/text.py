@@ -232,3 +232,39 @@ def bm25_topk(
         .agg(F.round(F.sum("s"), 6).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def unigram_nll(docs: DataFrame, smoothing: float = 0.5) -> DataFrame:
+    """CCNet-style statistical quality signal: per-document mean
+    negative log-likelihood under a corpus-trained UNIGRAM language
+    model (CCNet buckets CommonCrawl by LM perplexity; the unigram
+    model is its honest no-external-weights stand-in — the corpus
+    itself is the training set).
+
+    Model: p(t) = (count(t) + s) / (total + s·|V|), additive smoothing
+    ``s``; score(d) = −(1/|d|) Σ ln p(tᵢ) over the doc's tokens.
+
+    Shape at scale: ONE explode feeds both the model (token counts —
+    partial-agg groupBy) and the scoring join; the global totals are
+    two broadcast scalars; the per-doc score is one more partial-agg
+    groupBy. The vocabulary table joins on the term the explode
+    already shuffles on. Determinism: round(6) at the score boundary,
+    exact integer counts everywhere else."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens_col()).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").cast("double").alias("cnt"))
+    g = vocab.agg(
+        F.sum("cnt").alias("total"), F.count("*").cast("double").alias("v")
+    ).collect()[0]
+    total, v_size = float(g["total"]), float(g["v"])
+    logp = F.log((F.col("cnt") + smoothing) / (total + smoothing * v_size))
+    return (
+        toks.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.avg(logp), 6).alias("nll"),
+        )
+        .select("doc_id", "n_tokens", "nll")
+    )

@@ -362,3 +362,18 @@ def test_caption_pair_filter_rejects_null_fields(spark):
     for bad in ("nullcap", "nullfmt", "nullw"):
         assert out[bad]["reject_reason"] == "missing_field" and not out[bad]["keep"]
     assert out["ok"]["keep"]
+
+
+@pytest.mark.spark
+def test_unigram_nll_orders_typical_before_rare(spark):
+    """A document of corpus-typical tokens must score LOWER (more
+    likely) than one full of hapax tokens; scores are positive."""
+    from mhtml_to_html_spark.operators.text import unigram_nll
+
+    rows = [(i, "alpha beta gamma delta") for i in range(8)]
+    rows.append((8, "zzz qqq www uuu"))  # hapax-only doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nll"] for r in unigram_nll(df).collect()}
+    assert all(v > 0 for v in got.values())
+    assert got[0] < got[8], "typical doc must be more likely than hapax doc"
+    assert got[0] == got[3]  # identical docs, identical scores
