@@ -2208,7 +2208,7 @@ WITH base AS (
          {_TOKS} AS toks
   FROM documents),
 sig AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CASE WHEN greatest(
                   len(list_intersect(list_distinct(toks), {_LANG_STOP['de']})),
@@ -2243,7 +2243,8 @@ sig AS (
   FROM base),
 flagged AS (
   SELECT *,
-         CASE WHEN n_tokens < 10 THEN 'too_short'
+         CASE WHEN text IS NULL THEN 'missing_field'
+              WHEN n_tokens < 10 THEN 'too_short'
               WHEN predicted_lang NOT IN ('de', 'en', 'es', 'fr') THEN 'bad_lang'
               WHEN quality < 0.5 THEN 'low_quality'
               WHEN top_ngram_frac > 0.18 THEN 'repetitive'

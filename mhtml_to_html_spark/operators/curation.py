@@ -83,71 +83,104 @@ def curate_documents(
     remains the unit-testable/oracle-pinned reference for its formula,
     and this composition is pinned by its own oracle replaying the
     fused SQL."""
-    from .text import LANG_STOPWORDS, tokens_col
+    from .text import LANG_STOPWORDS, ngrams_col, tokens_col, top_ngram_count
 
-    toks = tokens_col()
-    dtoks = F.array_distinct(toks)
-    n_tokens = F.size(toks).cast("long")
+    # chained narrow projections, each heavy signal ALIASED so it
+    # evaluates exactly once: a reference to a non-aliased expression
+    # re-evaluates its whole tree, and higher-order functions run
+    # outside whole-stage codegen's subexpression elimination — the
+    # fused single-select form re-derived toks/grams/intersects per
+    # reference (~5x slower once the bench actually measured it).
+    # Catalyst still collapses this into one stage: no shuffle, no UDF.
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        tokens_col().alias("toks"),
+    )
+    arrs = toks.select(
+        "doc_id",
+        "text",
+        "toks",
+        F.array_distinct("toks").alias("dtoks"),
+        ngrams_col(F.col("toks"), ngram_n).alias("grams"),
+    )
 
-    # language ID (text.language_id's formula)
     langs = sorted(LANG_STOPWORDS)
     pairs = F.array(
         *[
             F.struct(
                 F.size(
-                    F.array_intersect(dtoks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]]))
+                    F.array_intersect(
+                        "dtoks", F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+                    )
                 ).alias("hits"),
                 F.lit(-i).alias("rank"),
             )
             for i, lang in enumerate(langs)
         ]
     )
-    best = F.array_max(pairs)
-    predicted = F.when(
-        best["hits"] > 0,
-        F.element_at(F.array(*[F.lit(lang) for lang in langs]), -best["rank"] + 1),
-    ).otherwise(F.lit("und"))
-
-    # quality (text.quality_score's formula)
     n_chars = F.length("text").cast("double")
     n_punct = (
         n_chars - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9\\s]", ""))
     ).cast("double")
     stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 6)
-    stop_hit = F.round(
-        F.size(F.array_intersect(dtoks, stop)).cast("double") / F.lit(float(len(LANG_STOPWORDS["en"]))),
-        6,
+    sig = arrs.select(
+        "doc_id",
+        F.col("text").isNull().alias("text_missing"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.array_max(pairs).alias("best"),  # language ID (text.language_id's formula)
+        # quality components (text.quality_score's formula)
+        F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 6).alias("len_score"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 6).alias("punct_ratio"),
+        F.round(
+            F.size(F.array_intersect("dtoks", stop)).cast("double")
+            / F.lit(float(len(LANG_STOPWORDS["en"]))),
+            6,
+        ).alias("stop_hit"),
+        # repetition (text.repetition_metrics' formula — sort +
+        # longest-run top count, O(n log n) per row)
+        F.size("grams").alias("n_grams"),
+        top_ngram_count(F.col("grams")).alias("top_cnt"),
     )
-    len_score = F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 6)
-    quality = F.round((len_score + (F.lit(1.0) - punct_ratio) + stop_hit) / F.lit(3.0), 6)
-
-    # repetition (text.repetition_metrics' formula)
-    grams = F.when(
-        F.size(toks) >= ngram_n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (ngram_n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(ngram_n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    top_cnt = F.array_max(
-        F.transform(F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    scored = sig.select(
+        "doc_id",
+        "text_missing",
+        "n_tokens",
+        F.when(
+            F.col("best")["hits"] > 0,
+            F.element_at(F.array(*[F.lit(lang) for lang in langs]), -F.col("best")["rank"] + 1),
+        )
+        .otherwise(F.lit("und"))
+        .alias("predicted_lang"),
+        F.round(
+            (F.col("len_score") + (F.lit(1.0) - F.col("punct_ratio")) + F.col("stop_hit"))
+            / F.lit(3.0),
+            6,
+        ).alias("quality"),
+        F.when(
+            F.col("n_grams") > 0, F.round(F.col("top_cnt") / F.col("n_grams"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_frac"),
     )
-    top_frac = F.when(total > 0, F.round(top_cnt / total, 6)).otherwise(F.lit(0.0))
 
+    # missing_field first: with a NULL text every comparison below is
+    # NULL, so without this rule a broken row would sail through the
+    # when-chain as keep=true on the Spark side while the oracle's
+    # nested CASE drifts — same pattern as caption_pair_filter
     reason = (
-        F.when(n_tokens < min_tokens, F.lit("too_short"))
-        .when(~predicted.isin(*allowed_langs), F.lit("bad_lang"))
-        .when(quality < min_quality, F.lit("low_quality"))
-        .when(top_frac > top_frac_max, F.lit("repetitive"))
+        F.when(F.col("text_missing"), F.lit("missing_field"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(~F.col("predicted_lang").isin(*allowed_langs), F.lit("bad_lang"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(F.col("top_ngram_frac") > top_frac_max, F.lit("repetitive"))
     )
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        n_tokens.alias("n_tokens"),
-        predicted.alias("predicted_lang"),
-        quality.alias("quality"),
-        top_frac.alias("top_ngram_frac"),
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "predicted_lang",
+        "quality",
+        "top_ngram_frac",
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     )

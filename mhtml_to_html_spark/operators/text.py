@@ -111,6 +111,45 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def ngrams_col(toks, n: int):
+    """Word n-grams of a token array as an array<string> column (empty
+    when the document has fewer than ``n`` tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_count(grams):
+    """Count of the single most frequent element: longest equal-run
+    over the SORTED array, one O(n log n) sort + one O(n) aggregate
+    scan per row. The naive form — transform(array_distinct(g),
+    x -> size(filter(g, y -> y = x))) — rebuilds the gram array inside
+    the lambda for every distinct gram (lambda bodies are outside
+    whole-stage codegen's subexpression elimination), going
+    O(distinct·total) array constructions per row: ~400x slower on
+    sf0.01 documents once the bench actually executed it. Returns 0
+    for an empty array."""
+    step_cur = lambda acc, x: F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(acc["best"], step_cur(acc, x)).alias("best"),
+            step_cur(acc, x).alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_metrics(docs: DataFrame, n: int = 2, top_frac_max: float = 0.18) -> DataFrame:
     """Gopher/C4-style intra-document repetition filter signals:
 
@@ -124,35 +163,34 @@ def repetition_metrics(docs: DataFrame, n: int = 2, top_frac_max: float = 0.18) 
     Scale shape: every metric is computed INSIDE the row over the token
     array (transform/filter/aggregate higher-order functions) — a
     map-only projection with no explode, no shuffle, no UDF; the
-    per-row cost is O(distinct·total) on ~10²-word documents. The
+    per-row cost is O(total log total) — the most-frequent count is a
+    sort + longest-equal-run scan (:func:`top_ngram_count`). The
     DuckDB oracle replays the same list algebra.
     (Rae et al., Gopher §A.1.1 repetition filters; C4's boilerplate
     heuristics — public-paper semantics, Spark-native shape.)"""
-    toks = tokens_col()
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # materialize grams once: referenced 3x below, and the alias is
+    # non-cheap so CollapseProject keeps the two Projects separate —
+    # one gram-array construction per row, not three
+    g = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ngrams_col(tokens_col(), n).alias("grams"),
+    )
+    grams = F.col("grams")
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
-    )
     dup_frac = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(F.lit(0.0))
-    top_frac = F.when(total > 0, F.round(top_cnt / total, 6)).otherwise(F.lit(0.0))
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    top_frac = F.when(total > 0, F.round(top_ngram_count(grams) / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+    m = g.select(
+        "doc_id",
         total.cast("long").alias("n_ngrams"),
         dup_frac.alias("dup_ngram_frac"),
         top_frac.alias("top_ngram_frac"),
-        (top_frac > top_frac_max).alias("repetitive"),
     )
+    # referencing the materialized column keeps the aggregate evaluated
+    # once (inlining top_frac here would re-run the whole run-scan)
+    return m.select("*", (F.col("top_ngram_frac") > top_frac_max).alias("repetitive"))
 
 
 def corpus_stats(docs: DataFrame) -> DataFrame:
