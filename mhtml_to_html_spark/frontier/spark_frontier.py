@@ -352,7 +352,7 @@ def crawl_spark(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     salt_buckets: int = 4,
-    collect_order: bool = True,
+    collect_order: bool = False,
     decode_payload: bool = False,
     fanout: int = 3,
     n_hosts: int = 7,
@@ -666,14 +666,6 @@ def crawl_spark(
             )
         budgeted = budgeted.withColumn("token_budget", budget_col)
         budgeted = budgeted.localCheckpoint(eager=True)
-        if debt_boost:
-            # next round's debt = this round's per-host overflow counts
-            debt_df = (
-                budgeted.filter(F.col("host_pos") > F.col("token_budget"))
-                .groupBy("host")
-                .agg(F.count("*").alias("debt"))
-                .localCheckpoint(eager=True)
-            )
         _t1 = _time.perf_counter()
         # one agg answers both "is the frontier drained?" and the
         # deferred count (two separate driver jobs otherwise)
@@ -692,7 +684,20 @@ def crawl_spark(
             # metrics row, same as the oracle — the next iteration
             # either injects a recrawl or terminates at the top break
             expected_frontier = 0
+            # debt_df deliberately NOT recomputed on this path: the
+            # oracle updates debt only when candidates exist, and an
+            # empty-round overwrite would clear a nonzero backlog
             continue
+        if debt_boost:
+            # next round's debt = this round's per-host overflow counts
+            # (computed after the zero-candidate exit so the control
+            # flow matches the oracle's `if not candidates: continue`)
+            debt_df = (
+                budgeted.filter(F.col("host_pos") > F.col("token_budget"))
+                .groupBy("host")
+                .agg(F.count("*").alias("debt"))
+                .localCheckpoint(eager=True)
+            )
         n_deferred = int(bcounts["n"]) - int(bcounts["fetchable"] or 0)
         fetch_now = budgeted.filter(F.col("host_pos") <= F.col("token_budget"))
         deferred = budgeted.filter(F.col("host_pos") > F.col("token_budget")).select(

@@ -42,7 +42,9 @@ GATE_SCHEMA = (
     "key string, url string, host string, depth int, disc_seq long, "
     "status string, attempts int, delay_ms long"
 )
-_GATE_STATE_SCHEMA = "seen array<long>, fetched_total long, bloom binary"
+_GATE_STATE_SCHEMA = (
+    "seen array<long>, fetched_total long, bloom binary, revisit array<long>"
+)
 
 
 class HostSeen:
@@ -60,22 +62,40 @@ class HostSeen:
     contract (bloom-gated frontiers); the byte-for-byte-vs-oracle
     configurations keep the default."""
 
-    def __init__(self, exact=None, bloom_blob=None, graduate_after=None, bloom_bits=1 << 17):
+    def __init__(
+        self,
+        exact=None,
+        bloom_blob=None,
+        graduate_after=None,
+        bloom_bits=1 << 17,
+        pending=None,
+    ):
         from ..frontier.seenset import CountingBloom
 
         self.exact = set(exact or ())
         self.bloom = CountingBloom.from_bytes(bytes(bloom_blob)) if bloom_blob else None
         self.graduate_after = graduate_after
         self.bloom_bits = bloom_bits
+        # revisit keys awaiting refetch in GRADUATED mode: an exact
+        # side-set (bounded by revisit manifests in flight) so removal
+        # never touches Bloom counters shared with other keys
+        self.pending = set(pending or ())
 
     def __contains__(self, h64: int) -> bool:
+        if h64 in self.pending:
+            return False  # a revisit key reads unseen until refetched
         if self.bloom is not None and self.bloom.might_contain(h64):
             return True
         return h64 in self.exact
 
     def add(self, h64: int) -> None:
+        was_pending = h64 in self.pending
+        self.pending.discard(h64)
         if self.bloom is not None:
-            self.bloom.add(h64)
+            # a pending revisit key is still counted in the Bloom (its
+            # removal never decremented) — re-adding would double-count
+            if not was_pending:
+                self.bloom.add(h64)
             return
         self.exact.add(h64)
         if self.graduate_after is not None and len(self.exact) >= self.graduate_after:
@@ -90,9 +110,19 @@ class HostSeen:
         """Forget a key (the streaming side of recrawl): exact set
         discard, or counting-Bloom decrement past graduation — the
         same no-false-negative-for-survivors contract as the batch
-        crawl's sharded filter deletion."""
+        crawl's sharded filter deletion.
+
+        Graduated mode NEVER decrements the Bloom: the counters are
+        shared, and an at-least-once feeder can deliver a revisit for
+        a key that was never fetched — an unchecked decrement would
+        drain cells belonging to genuinely seen keys (a false negative
+        for a survivor, the one contract violation this structure must
+        not have). Instead the key joins the exact ``pending`` set,
+        which the membership check consults first, so the unchanged
+        admission loop re-admits exactly the requested keys."""
         if self.bloom is not None:
-            self.bloom.remove(h64)
+            if self.bloom.might_contain(h64):
+                self.pending.add(h64)
             return
         self.exact.discard(h64)
 
@@ -101,6 +131,7 @@ class HostSeen:
             _encode_seen(self.exact),
             fetched_total,
             self.bloom.to_bytes() if self.bloom is not None else None,
+            _encode_seen(self.pending),
         )
 
 
@@ -138,17 +169,14 @@ def _admit_host_batch(host: str, batch, seen: set, host_budget: int, use_robots:
     budget = host_token_budget(host, host_budget) if use_robots else host_budget
     # revisit rows (recrawl manifests) FORGET their key first, so the
     # unchanged exactly-once admission below re-admits exactly them.
-    # Deduplicate the keys and remove only MEMBERS: an at-least-once
-    # feeder can deliver the same revisit twice (or one for a key
-    # never fetched), and an unchecked remove on a graduated
-    # counting-Bloom would drain counters shared with OTHER seen keys
-    # — a false negative for a survivor (the batch loop gets the same
-    # guarantee from its exact-seen-table semi-join)
+    # HostSeen.remove is safe for non-members in BOTH modes (an
+    # at-least-once feeder can deliver the same revisit twice, or one
+    # for a key never fetched): exact mode is a set discard, graduated
+    # mode routes through the pending side-set and never decrements
+    # Bloom counters shared with other keys
     if "revisit" in batch.columns:
         for rkey in {r.key for r in batch[batch["revisit"].fillna(False)].itertuples()}:
-            h = url_hash64(rkey)
-            if h in seen:
-                seen.remove(h)
+            seen.remove(url_hash64(rkey))
     # first-discovery-wins dedup (min disc_seq — the batch crawl's
     # min_by semantics), then the crawl priority order
     batch = (
@@ -205,8 +233,11 @@ def _politeness_gate(
         state.remove()
         return
     if state.exists:
-        seen_list, fetched_total, bloom_blob = state.get
-        seen = HostSeen(_decode_seen(seen_list), bloom_blob, graduate_after)
+        seen_list, fetched_total, bloom_blob, pending_list = state.get
+        seen = HostSeen(
+            _decode_seen(seen_list), bloom_blob, graduate_after,
+            pending=_decode_seen(pending_list or []),
+        )
     else:
         seen, fetched_total = HostSeen(graduate_after=graduate_after), 0
 
@@ -288,8 +319,11 @@ class FrontierGateProcessor:
 
         (host,) = key
         if self._gate.exists():
-            seen_list, fetched_total, bloom_blob = self._gate.get()
-            seen = HostSeen(_decode_seen(seen_list), bloom_blob, self._graduate_after)
+            seen_list, fetched_total, bloom_blob, pending_list = self._gate.get()
+            seen = HostSeen(
+                _decode_seen(seen_list), bloom_blob, self._graduate_after,
+                pending=_decode_seen(pending_list or []),
+            )
         else:
             seen, fetched_total = HostSeen(graduate_after=self._graduate_after), 0
         batch = pd.concat(list(rows), ignore_index=True)

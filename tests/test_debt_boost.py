@@ -45,7 +45,7 @@ def test_spark_matches_oracle_debt_boost(spark):
     from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
 
     o = crawl_oracle(SEEDS, debt_boost=True, **KW)
-    r = crawl_spark(spark, SEEDS, debt_boost=True, **KW)
+    r = crawl_spark(spark, SEEDS, debt_boost=True, collect_order=True, **KW)
     assert r.order == o.order
     assert r.seen == o.seen and r.failed == o.failed
 
@@ -63,7 +63,8 @@ def test_spark_debt_boost_resumes_from_snapshot(spark, tmp_path):
         **{**KW, "max_rounds": 2},
     )
     r = crawl_spark(
-        spark, SEEDS, debt_boost=True, checkpoint_dir=ckpt, resume=True, **KW
+        spark, SEEDS, debt_boost=True, checkpoint_dir=ckpt, resume=True,
+        collect_order=True, **KW
     )
     assert r.order == o.order
     assert r.seen == o.seen and r.failed == o.failed

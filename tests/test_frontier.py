@@ -70,6 +70,7 @@ def test_spark_matches_oracle(spark, oracle_result, tmp_path):
         max_rounds=MAX_ROUNDS,
         host_budget=BUDGET,
         checkpoint_dir=str(tmp_path / "ckpt"),
+        collect_order=True,
     )
     assert res.order == oracle_result.order, "crawl ordering diverged from the oracle"
     assert res.seen == oracle_result.seen
@@ -95,6 +96,7 @@ def test_spark_matches_oracle_with_range_partitioning(spark, oracle_result):
         max_rounds=MAX_ROUNDS,
         host_budget=BUDGET,
         range_partition_threshold=0,
+        collect_order=True,
     )
     assert res.order == oracle_result.order
     assert res.seen == oracle_result.seen
@@ -123,6 +125,7 @@ def test_spark_matches_oracle_with_robots(spark, tmp_path):
         host_budget=BUDGET,
         use_robots=True,
         checkpoint_dir=str(tmp_path / "robots_ckpt"),
+        collect_order=True,
     )
     assert res.order == oracle.order
     assert res.seen == oracle.seen
@@ -136,7 +139,7 @@ def test_spark_matches_oracle_with_robots(spark, tmp_path):
     )
     resumed = crawl_spark(
         spark, SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET, use_robots=True,
-        checkpoint_dir=ckpt2, resume=True,
+        checkpoint_dir=ckpt2, resume=True, collect_order=True,
     )
     assert resumed.order == oracle.order
     assert resumed.blocked == oracle.blocked
@@ -159,6 +162,7 @@ def test_spark_resume_from_checkpoint(spark, oracle_result, tmp_path):
         host_budget=BUDGET,
         checkpoint_dir=ckpt,
         resume=True,
+        collect_order=True,
     )
     assert resumed.order == oracle_result.order, "resumed crawl diverged"
     assert resumed.seen == oracle_result.seen
@@ -178,6 +182,7 @@ def test_spark_matches_oracle_with_forced_probe_path(spark, oracle_result):
         max_rounds=MAX_ROUNDS,
         host_budget=BUDGET,
         probe_threshold=0,
+        collect_order=True,
     )
     assert res.order == oracle_result.order
     assert res.seen == oracle_result.seen
@@ -201,6 +206,7 @@ def test_saturated_filters_never_drop_urls(spark, oracle_result):
         seen_shards=2,
         seen_bloom_bits=64,
         seen_cuckoo_buckets=8,
+        collect_order=True,
     )
     assert res.order == oracle_result.order
     assert res.seen == oracle_result.seen

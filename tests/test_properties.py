@@ -145,8 +145,9 @@ def test_host_seen_never_false_negative(keys, graduate_after):
     for k in keys:
         s.add(k)
     assert all(k in s for k in keys)
-    exact, total, blob = s.state_tuple(0)
+    exact, total, blob, pending = s.state_tuple(0)
     s2 = HostSeen(
         {v & 0xFFFFFFFFFFFFFFFF for v in exact}, blob, graduate_after, bloom_bits=1 << 12
     )
+    assert pending == []
     assert all(k in s2 for k in keys)

@@ -75,7 +75,7 @@ def test_spark_matches_oracle_recrawl(spark):
     from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
 
     o = crawl_oracle(SEEDS_1HOST, **KW_1HOST)
-    r = crawl_spark(spark, SEEDS_1HOST, **KW_1HOST)
+    r = crawl_spark(spark, SEEDS_1HOST, collect_order=True, **KW_1HOST)
     assert r.order == o.order
     assert r.seen == o.seen and r.failed == o.failed
     assert [(m["round"], m["recrawled"]) for m in r.metrics] == [
@@ -90,7 +90,7 @@ def test_spark_matches_oracle_recrawl_distributed_index(spark):
     from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
 
     o = crawl_oracle(SEEDS_2HOST, **KW_2HOST)
-    r = crawl_spark(spark, SEEDS_2HOST, range_partition_threshold=0, **KW_2HOST)
+    r = crawl_spark(spark, SEEDS_2HOST, range_partition_threshold=0, collect_order=True, **KW_2HOST)
     assert r.order == o.order
     assert r.seen == o.seen and r.failed == o.failed
 
@@ -131,7 +131,7 @@ def test_recrawl_budget_survives_resume(spark, tmp_path):
     # stop right AFTER the injection round is checkpointed...
     crawl_spark(spark, SEEDS_1HOST, checkpoint_dir=ckpt, **{**kw, "max_rounds": 4})
     # ...and resume: recrawls_done must come back as 1 (no 2nd injection)
-    r = crawl_spark(spark, SEEDS_1HOST, checkpoint_dir=ckpt, resume=True, **kw)
+    r = crawl_spark(spark, SEEDS_1HOST, checkpoint_dir=ckpt, resume=True, collect_order=True, **kw)
     assert r.order == o.order
     assert r.seen == o.seen and r.failed == o.failed
     assert [m["recrawled"] for m in r.metrics] == [m["recrawled"] for m in o.metrics]

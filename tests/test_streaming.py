@@ -556,8 +556,8 @@ def test_host_seen_bloom_graduation():
     # no false negatives: every added key still reads as seen
     assert all(k in s for k in keys)
     # bounded state: blob size is the filter, not the key count
-    exact_list, total, blob = s.state_tuple(0)
-    assert exact_list == [] and len(blob) == (1 << 15) + 8
+    exact_list, total, blob, pending_list = s.state_tuple(0)
+    assert exact_list == [] and pending_list == [] and len(blob) == (1 << 15) + 8
     # round-trip through the state tuple preserves membership
     s2 = HostSeen(exact_list, blob, graduate_after=100)
     assert all(k in s2 for k in keys)
@@ -716,8 +716,9 @@ def test_admit_host_batch_revisit_kernel_shared_by_both_bindings():
     batch2 = batch.assign(revisit=[False] * 4)
     rows2, admitted2 = _admit_host_batch(host, batch2, seen, host_budget=10, use_robots=False)
     assert rows2 == [] and admitted2 == 0
-    # Bloom-graduated state honors revisit the same way (counting
-    # decrements; survivors keep no-false-negative)
+    # Bloom-graduated state honors revisit through the exact pending
+    # side-set (counters are NEVER decremented — shared cells must not
+    # drain for survivors; a refetch clears its pending entry)
     gseen = HostSeen(graduate_after=2)
     for k in keys:
         gseen.add(url_hash64(k))
@@ -725,3 +726,10 @@ def test_admit_host_batch_revisit_kernel_shared_by_both_bindings():
     rows3, _ = _admit_host_batch(host, batch, gseen, host_budget=10, use_robots=False)
     fetched3 = {r["key"] for r in rows3 if r["status"] in ("ok", "failed")}
     assert fetched3 == {keys[1], keys[3]}
+    assert gseen.pending == set()  # refetch cleared the side-set
+    # and every original key still reads as seen (no counter drain)
+    assert all(url_hash64(k) in gseen for k in keys)
+    # a revisit for a key NEVER fetched must not disturb survivors
+    ghost = url_hash64(f"https://{host}/never-fetched")
+    gseen.remove(ghost)
+    assert all(url_hash64(k) in gseen for k in keys)
