@@ -417,11 +417,14 @@ def q_sim_ivfpq_topk(spark, sf_dir):
 
 
 def q_sim_opq_topk(spark, sf_dir):
-    """OPQ (rotation-trained PQ) top-k. SVD has no portable DuckDB
-    twin, so this entry is deliberately ORACLE-LESS: the driver records
-    the weaker rows-only check (the brief's documented path for
-    iterative linear-algebra operators); determinism + recall-vs-PQ
-    are pinned by tests/test_pq.py."""
+    """OPQ (rotation-trained PQ) top-k. Oracled since round 4 by
+    :func:`_opq_oracle`: the alternating trajectory replays in DuckDB
+    at oracle-build time (numpy only for the dim x dim SVD) and the
+    check SQL inlines the learned rotation as literals — boundary
+    quantization is dyadic so both engines' Lloyd's sums are
+    bit-identical. Falls back to the rows-only check only when the
+    gate's sf0.01 parquet is absent. Determinism + recall-vs-PQ are
+    pinned by tests/test_pq.py."""
     from mhtml_to_html_spark.operators.opq import opq_topk
 
     return opq_topk(
@@ -1376,13 +1379,18 @@ def _pq_shared_ctes(
     return blocks
 
 
-def _pq_query_ctes(qid: int, k: int, m: int, n_iter: int, dim: int, tag: str) -> tuple[list[str], str]:
+def _pq_query_ctes(
+    qid: int, k: int, m: int, n_iter: int, dim: int, tag: str,
+    table: str = "embeddings",
+) -> tuple[list[str], str]:
     """Per-query PQ CTEs (ADC tables + ranking); returns (ctes,
-    top-k CTE name). Requires :func:`_pq_shared_ctes` in scope."""
+    top-k CTE name). Requires :func:`_pq_shared_ctes` in scope.
+    ``table`` points the query vector at an alternative corpus CTE
+    (the OPQ oracle reads it from the rotated table)."""
     sub = dim // m
     ctes = [
         f"""pqq_{tag} AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
-  FROM embeddings WHERE vec_id = {qid})"""
+  FROM {table} WHERE vec_id = {qid})"""
     ]
     for s in range(m):
         off = s * sub
@@ -1498,6 +1506,97 @@ WITH {','.join(blocks)},
 {','.join(qctes)}
 SELECT CAST(vec_id AS BIGINT) AS vec_id, adc_dist FROM {top}
 ORDER BY adc_dist, vec_id"""
+
+
+def _opq_oracle(
+    qid: int = 0,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iter: int = 2,
+    n_opq_iter: int = 2,
+    dim: int = 64,
+) -> str | None:
+    """OPQ replay (Ge et al.) — closes the one rows-only gap from
+    round 3. The alternating trajectory (rotate -> per-subspace
+    Lloyd's -> encode -> reconstruct -> Procrustes cross-matrix) runs
+    ENTIRELY in DuckDB at oracle-BUILD time; numpy is used only for
+    the dim x dim SVD, which has no SQL twin (LAPACK on a few
+    thousand floats — never data rows). Both engines quantize every
+    boundary (rotated vectors and cross-matrix cells at 6 decimals,
+    codebooks by the Lloyd's chain's own rule), so the two
+    trajectories stay bit-aligned and the SAME numpy SVD call gets
+    bit-identical input on both sides. The grids are DYADIC (2^-20
+    vectors, 2^-10 cells) so quantized values are exact in doubles and
+    Lloyd's sums/means become order-independent — a decimal grid puts
+    cluster means exactly on round(6) half-boundaries, where the two
+    engines' rounding paths disagree. The returned SQL inlines the
+    final rotation as literals and replays rotate -> train -> encode
+    -> ADC exactly like _pq_oracle.
+
+    The R literal is DATA-dependent, so this oracle is bound to the
+    driver's sf0.01 tables (the gate's documented scale); returns
+    None when that parquet is unavailable so callers fall back to the
+    rows-only check."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    rng = f"range(1, {dim + 1})"
+
+    def rot_ctes(R) -> list[str]:
+        rows = ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in R
+        )
+        return [
+            f"rmat AS (SELECT [{rows}] AS R)",
+            f"""rot AS (
+  SELECT e.vec_id, list_transform({rng}, i ->
+      floor(list_aggregate(list_transform({rng}, j ->
+          CAST(e.embedding[j] AS DOUBLE) * rmat.R[j][i]), 'sum')
+        * 1048576.0 + 0.5) / 1048576.0) AS embedding
+  FROM embeddings e CROSS JOIN rmat)""",
+        ]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    R = np.eye(dim)
+    enc_joins = "".join(f" JOIN s{s}_enc e{s} USING (vec_id)" for s in range(1, m))
+    book_joins = " ".join(
+        f"JOIN s{s}_c{n_iter} b{s} ON b{s}.cid = e{s}.code" for s in range(m)
+    )
+    parts = ", ".join(f"b{s}.c" for s in range(m))
+    recon = (
+        f"recon AS (SELECT e0.vec_id, flatten([{parts}]) AS embedding "
+        f"FROM s0_enc e0{enc_joins} {book_joins})"
+    )
+    for _ in range(n_opq_iter):
+        blocks = rot_ctes(R) + _pq_shared_ctes(m, n_codes, n_iter, dim, table="rot")
+        sql = (
+            "WITH " + ",\n".join(blocks + [recon]) + f"""
+SELECT ti.i AS i, tj.j AS j,
+       floor(sum(CAST(e.embedding[ti.i] AS DOUBLE) * r.embedding[tj.j])
+         * 1024.0 + 0.5) / 1024.0 AS v
+FROM embeddings e JOIN recon r USING (vec_id), {rng} ti(i), {rng} tj(j)
+GROUP BY 1, 2"""
+        )
+        M = np.zeros((dim, dim))
+        for i, j, v in con.execute(sql).fetchall():
+            M[int(i) - 1, int(j) - 1] = v
+        U, _sv, Vt = np.linalg.svd(M)
+        R = U @ Vt
+    con.close()
+    blocks = rot_ctes(R) + _pq_shared_ctes(m, n_codes, n_iter, dim, table="rot")
+    qctes, top = _pq_query_ctes(qid, k, m, n_iter, dim, tag="q", table="rot")
+    return (
+        "WITH " + ",\n".join(blocks + qctes) + f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, adc_dist FROM {top}
+ORDER BY adc_dist, vec_id"""
+    )
 
 
 def _ivf_trained_oracle(
@@ -2005,7 +2104,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_OPQ_ORACLE_CACHE: list = []
+
+
 def oracle_sql() -> dict[str, str]:
+    oracles = _oracle_sql_static()
+    # the OPQ oracle trains its rotation at build time (DuckDB + one
+    # numpy SVD) against the gate's sf0.01 parquet; cache it so
+    # repeated oracle_sql() calls pay once, and omit the entry (the
+    # driver then records the weaker rows-only check) if the canonical
+    # parquet is absent
+    if not _OPQ_ORACLE_CACHE:
+        _OPQ_ORACLE_CACHE.append(_opq_oracle())
+    if _OPQ_ORACLE_CACHE[0] is not None:
+        oracles["sim_opq_topk"] = _OPQ_ORACLE_CACHE[0]
+    return oracles
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

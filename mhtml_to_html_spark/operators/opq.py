@@ -22,12 +22,16 @@ Shape at scale:
   a few thousand floats, never data rows;
 - encoding/ADC reuse operators/pq.py unchanged on the rotated space.
 
-Correctness contract: SVD has no portable cross-engine twin, so this
-operator is checked ROWS-ONLY by the driver (the brief's documented
-weaker gate for iterative/linear-algebra operators); determinism holds
-within one platform (fixed iteration order, driver-held R, quantized
-codebooks) and is pinned by tests, plus a recall test showing OPQ
-beating plain PQ on correlated data.
+Correctness contract (DuckDB-replayable since round 4): every
+engine-boundary value is quantized — rotated vectors and Procrustes
+cross-matrix cells at 6 decimals, codebooks by pq_train's own rule —
+so the oracle can replay the SAME alternating trajectory in SQL
+(rotate -> per-subspace Lloyd's -> encode -> reconstruct -> cross
+matrix), with numpy used only for the dim x dim SVD at oracle-build
+time; the final check SQL rotates with the learned R inlined as
+literals and replays train+encode+ADC like the PQ oracle. Determinism
+is pinned by tests, plus a recall test showing OPQ beating plain PQ
+on correlated data.
 """
 
 from __future__ import annotations
@@ -39,7 +43,19 @@ from .pq import pq_encode, pq_topk_from_codes, pq_train
 
 
 def _rotate(embeddings: DataFrame, R) -> DataFrame:
-    """(vec_id, embedding·R): one vectorized matmul per Arrow batch."""
+    """(vec_id, embedding·R): one vectorized matmul per Arrow batch.
+    Rotated values snap to the DYADIC grid 2^-20 (~1e-6), not a
+    decimal grid: dyadic values are exactly representable in doubles,
+    so every downstream sum/mean in Lloyd's is order-independent and
+    bit-identical between engines. A decimal round(6) here would put
+    cluster means exactly on the HALF-boundaries of pq_train's own
+    round(6) (means of 1e-6-grid multiples), where Spark's BigDecimal
+    HALF_UP and DuckDB's float-path round disagree — observed
+    immediately at sf0.01. floor(x*2^20 + 0.5) also ties identically
+    in numpy and SQL, unlike round-half-to-even vs half-away. The
+    BLAS-vs-list-algebra accumulation drift (~1e-13) can still flip a
+    grid cell with probability ~1e-7 per value; deterministic per
+    dataset, absorbed by the gate's one-time check."""
     rows_R = [[float(v) for v in row] for row in R]
 
     def apply(batches):
@@ -49,7 +65,7 @@ def _rotate(embeddings: DataFrame, R) -> DataFrame:
         Rm = np.array(rows_R, dtype=np.float64)
         for pdf in batches:
             X = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            out = X @ Rm
+            out = np.floor((X @ Rm) * 1048576.0 + 0.5) / 1048576.0
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "embedding": [r.tolist() for r in out]}
             )
@@ -87,7 +103,18 @@ def _cross_matrix(embeddings: DataFrame, recon: DataFrame, dim: int):
         yield pd.DataFrame({"i": i, "j": j, "v": acc.reshape(-1)})
 
     cells = joined.mapInPandas(partial, schema="i int, j int, v double")
-    rows = cells.groupBy("i", "j").agg(F.sum("v").alias("v")).collect()
+    # dyadic 2^-10 snap per cell: the comparison boundary before the
+    # SVD — the oracle's single SQL sum and this partial-sum tree
+    # accumulate in different orders (drift ~1e-11 on O(100) cells);
+    # the coarse grid makes a cell flip ~1e-8-improbable while both
+    # engines hand numpy's SVD bit-identical input (same machine, same
+    # LAPACK => the same R). M only steers training, so the coarse
+    # quantization costs nothing downstream.
+    rows = (
+        cells.groupBy("i", "j")
+        .agg((F.floor(F.sum("v") * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)).alias("v"))
+        .collect()
+    )
     import numpy as np
 
     M = np.zeros((dim, dim), dtype=np.float64)
@@ -137,6 +164,12 @@ def opq_train(
         M = _cross_matrix(base, recon, dim)
         U, _s, Vt = np.linalg.svd(M)
         R = U @ Vt
+    # retrain codebooks once on the FINAL rotation: the loop updates R
+    # after training, so the last books correspond to the previous
+    # rotation — encoding must use codebooks from the same space it
+    # rotates into (also what makes the DuckDB replay one chain:
+    # rotate with the final R literal, then train+encode+ADC in SQL)
+    books = pq_train(_rotate(base, R).localCheckpoint(eager=True), m=m, n_codes=n_codes, n_iter=n_iter)
     return R, books
 
 

@@ -32,6 +32,15 @@ def main() -> None:
         "--debt-boost", action="store_true",
         help="hosts that overflowed the politeness budget last round get up to 2x budget",
     )
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help=(
+            "drive the crawl through the STREAMING politeness gate "
+            "(applyInPandasWithState feeder loop; requires --checkpoint, "
+            "which becomes the job's work dir; --resume continues from "
+            "the latest completed round)"
+        ),
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,6 +52,38 @@ def main() -> None:
 
     seeds = [f"https://host{i % 97}.example.com/seed/{i}" for i in range(args.seeds)]
     start = time.perf_counter()
+
+    if args.streaming:
+        if not args.checkpoint:
+            parser.error("--streaming requires --checkpoint (the work dir)")
+        from mhtml_to_html_spark.streaming.feeder import stream_crawl_job
+
+        res = stream_crawl_job(
+            spark,
+            seeds,
+            args.checkpoint,
+            max_rounds=args.rounds,
+            host_budget=args.budget,
+            use_robots=args.robots,
+            resume=args.resume,
+        )
+        wall = time.perf_counter() - start
+        fetched = sum(m["fetched"] for m in res["rounds"])
+        print(
+            json.dumps(
+                {
+                    "mode": "streaming",
+                    "fetched": fetched,
+                    "wall_s": round(wall, 2),
+                    "urls_per_sec": round(fetched / wall, 1) if wall else None,
+                    "rounds": res["rounds"],
+                    "fixpoint": res["fixpoint"],
+                }
+            )
+        )
+        spark.stop()
+        return
+
     result = crawl_spark(
         spark,
         seeds,

@@ -733,3 +733,40 @@ def test_admit_host_batch_revisit_kernel_shared_by_both_bindings():
     ghost = url_hash64(f"https://{host}/never-fetched")
     gseen.remove(ghost)
     assert all(url_hash64(k) in gseen for k in keys)
+
+
+@pytest.mark.spark
+def test_stream_crawl_job_restart_parity(spark, tmp_path):
+    """The packaged streaming feeder job (scripts/crawl_job.py
+    --streaming): run one round, STOP, resume to completion — the full
+    crawl ordering must be byte-for-byte the batch oracle's, with the
+    gate checkpoint carrying seen state and the feeder state carrying
+    the pending frontier across the restart."""
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+    from mhtml_to_html_spark.streaming.feeder import (
+        stream_crawl_job,
+        stream_crawl_order,
+    )
+
+    SEEDS, ROUNDS, BUDGET = seed_urls(4, 2), 3, 5
+    oracle = crawl_oracle(SEEDS, max_rounds=ROUNDS, host_budget=BUDGET)
+    work = str(tmp_path / "stream_job")
+
+    first = stream_crawl_job(
+        spark, SEEDS, work, max_rounds=ROUNDS, host_budget=BUDGET, stop_after_round=1
+    )
+    assert len(first["rounds"]) == 1 and not first["fixpoint"]
+
+    resumed = stream_crawl_job(
+        spark, SEEDS, work, max_rounds=ROUNDS, host_budget=BUDGET, resume=True
+    )
+    assert resumed["rounds"][0]["round"] == 1  # continued, not restarted
+
+    got = stream_crawl_order(spark, work)
+    assert got == oracle.order
+    # metrics line up per round with the oracle's
+    all_rounds = first["rounds"] + resumed["rounds"]
+    assert [(m["round"], m["fetched"]) for m in all_rounds] == [
+        (m["round"], m["fetched"]) for m in oracle.metrics
+    ]
