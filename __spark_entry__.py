@@ -580,6 +580,14 @@ _GOLDEN_PNG_B64 = (
     "iVBORw0KGgoAAAABSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDw"
     "AEhQGAhKmMIQAAAABJRU5ErkJggg=="
 )
+# srcset.test.js:8 LARGE (2x2 PNG) and frames.test.js:15 GIF (1x1
+# tracking pixel), byte-for-byte from the reference suites
+_GOLDEN_LARGE_B64 = (
+    "iVBORw0KGgoAAAANSUhEUgAAAAIAAAACCAYAAABytg0kAAAAEklEQVR42mNk+M9Qzw"
+    "AFjDAGACzOAv/QMkKYAAAAAElFTkSuQmCC"
+)
+_GOLDEN_GIF_B64 = "R0lGODlhAQABAID/ADs="
+_GOLDEN_CID = "frame-1@mhtml.blink"
 
 
 def _golden_fixtures() -> list[tuple[str, bytes]]:
@@ -653,9 +661,94 @@ def _golden_fixtures() -> list[tuple[str, bytes]]:
         body='<a href="/x" ping="https://tracker.example/p">a</a>'
         '<p onclick="boom()" onmouseover="boom()">x</p>'
     )
+    # --- g8-g15 (round-4 broadening: frames, srcset, style sets,
+    # favicons/hints, css imports — test/frames.test.js,
+    # test/srcset.test.js, test/stylesheet.test.js:132-186,
+    # test/document.test.js:201-225) ---
+    cid = _GOLDEN_CID
+
+    def framed(content_type, body, encoding="8bit"):
+        ct = f"Content-Type: {content_type}\r\n" if content_type else ""
+        part = (
+            f"--{B}\r\n{ct}Content-Transfer-Encoding: {encoding}\r\n"
+            f"Content-ID: <{cid}>\r\nContent-Location: https://example.com/frame\r\n\r\n"
+        )
+        return cat(
+            f'MIME-Version: 1.0\r\nContent-Type: multipart/related; boundary="{B}"\r\n\r\n',
+            f"--{B}\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Transfer-Encoding: 8bit\r\n"
+            f"Content-Location: https://example.com/\r\n\r\n"
+            f'<html><head></head><body><iframe src="cid:{cid}"></iframe></body></html>',
+            f"\r\n{part}", body, f"\r\n--{B}--\r\n",
+        )
+
+    inner_doc = "<html><body><p>INNER</p></body></html>"
+    g8 = framed("text/html", inner_doc)  # frames.test.js:33-38
+    g9 = framed("image/gif", _GOLDEN_GIF_B64, "base64")  # frames.test.js:40-56
+    g10 = framed("application/octet-stream", inner_doc)  # frames.test.js:58-66
+    frame_1251 = cat(
+        '<html><head><meta charset="windows-1251"></head><body><p>',
+        hello_1251, "</p></body></html>",
+    )  # frames.test.js:77-93
+    g11 = framed("text/html", base64.b64encode(frame_1251).decode("ascii"), "base64")
+
+    def png_part(name, b64):
+        return (
+            f"--{B}\r\nContent-Type: image/png\r\nContent-Transfer-Encoding: base64\r\n"
+            f"Content-Location: https://example.com/{name}\r\n\r\n{b64}"
+        )
+
+    g12 = page(  # srcset.test.js width/zero-density/missing/comma cases
+        body=(
+            '<img srcset="a.png 1w, b.png 2w" src="a.png">'
+            '<img srcset="a.png 0x, b.png 2x" src="a.png">'
+            '<img srcset="a.png 1x, gone.png 2x" src="a.png">'
+            '<img srcset="x,y.png 9x" src="a.png">'
+        ),
+        parts=[
+            png_part("a.png", _GOLDEN_PNG_B64),
+            png_part("b.png", _GOLDEN_LARGE_B64),
+            png_part("x,y.png", _GOLDEN_LARGE_B64),
+        ],
+    )
+
+    def css_part(name, body):
+        return (
+            f"--{B}\r\nContent-Type: text/css\r\nContent-Transfer-Encoding: 8bit\r\n"
+            f"Content-Location: https://example.com/{name}\r\n\r\n{body}"
+        )
+
+    g13 = page(  # stylesheet.test.js:132-186 (style sets, media)
+        head=(
+            '<link rel="stylesheet" media="print" href="s.css">'
+            '<link rel="alternate stylesheet" title="Dark" href="alt.css">'
+            '<style title="Light">q{color:blue}</style>'
+        ),
+        parts=[css_part("s.css", "p{color:red}"), css_part("alt.css", "p{color:green}")],
+    )
+    g14 = page(  # document.test.js:201-225 (favicons, offline hints)
+        head=(
+            '<link rel="icon" href="i.png" type="image/png" sizes="16x16">'
+            '<link rel="preload prefetch" href="/hinted-a">'
+            '<link rel="dns-prefetch" href="/hinted-b">'
+        ),
+        parts=[png_part("i.png", _GOLDEN_PNG_B64)],
+    )
+    g15 = page(  # stylesheet.test.js:40-88 (url comment, imports, misses)
+        head='<link rel="stylesheet" href="s.css">',
+        parts=[
+            css_part(
+                "s.css",
+                "@import url(other.css);p{background:url(i.png)}div{background:url(gone.png)}",
+            ),
+            css_part("other.css", "p{color:teal}"),
+            png_part("i.png", _GOLDEN_PNG_B64),
+        ],
+    )
     return [
         ("g1", g1), ("g2", g2), ("g3", g3), ("g4", g4), ("g5", g5),
-        ("g6", g6), ("g7", g7),
+        ("g6", g6), ("g7", g7), ("g8", g8), ("g9", g9), ("g10", g10),
+        ("g11", g11), ("g12", g12), ("g13", g13), ("g14", g14), ("g15", g15),
     ]
 
 
@@ -679,6 +772,44 @@ def _golden_checks():
         ("g6", "other_link_absolute", d.contains('href="https://example.com/other"')),
         ("g7", "onclick_left", d.contains("onclick")),
         ("g7", "ping_left", d.contains("ping=")),
+        ("g8", "frame_srcdoc", d.contains("srcdoc=")),
+        ("g8", "frame_inner", d.contains("INNER")),
+        ("g9", "gif_parsed_as_markup", d.contains("GIF89a")),
+        ("g9", "gif_srcdoc", d.contains("srcdoc=")),
+        ("g9", "gif_data_uri", d.contains(f'src="data:image/gif;base64,{_GOLDEN_GIF_B64}"')),
+        ("g9", "original_src_kept", d.contains(f'data-original-src="cid:{_GOLDEN_CID}"')),
+        ("g10", "stream_srcdoc", d.contains("srcdoc=")),
+        ("g10", "stream_inner", d.contains("INNER")),
+        ("g11", "b64_frame_srcdoc", d.contains("srcdoc=")),
+        ("g11", "b64_frame_decoded", d.contains(_GOLDEN_HELLO)),
+        ("g11", "stale_frame_charset", d.rlike("(?i)windows-1251")),
+        ("g12", "width_descriptors", d.contains(
+            f'srcset="data:image/png;base64,{_GOLDEN_PNG_B64} 1w, '
+            f'data:image/png;base64,{_GOLDEN_LARGE_B64} 2w"')),
+        ("g12", "zero_density_kept", d.contains(
+            f'data:image/png;base64,{_GOLDEN_PNG_B64} 0x, '
+            f'data:image/png;base64,{_GOLDEN_LARGE_B64} 2x')),
+        ("g12", "missing_keeps_address", d.contains(
+            f'data:image/png;base64,{_GOLDEN_PNG_B64} 1x, '
+            f'https://example.com/gone.png 2x')),
+        ("g12", "comma_url_one_candidate", d.contains(
+            f'srcset="data:image/png;base64,{_GOLDEN_LARGE_B64} 9x"')),
+        ("g13", "media_carried", d.rlike('<style[^>]*media="print"')),
+        ("g13", "persistent_inlined", d.contains("p{color:red}")),
+        ("g13", "alternate_stays_link", d.rlike('<link[^>]*href="data:text/css')),
+        ("g13", "alternate_title_kept", d.rlike('<link[^>]*title="Dark"')),
+        ("g13", "alternate_welded_on", d.contains("p{color:green}")),
+        ("g13", "titled_style_title_kept", d.rlike('<style[^>]*title="Light"')),
+        ("g14", "favicon_inlined", d.contains(f"data:image/png;base64,{_GOLDEN_PNG_B64}")),
+        ("g14", "favicon_reported_sizes", F.col("favicons").contains('"sizes": "16x16"')),
+        ("g14", "favicon_reported_type", F.col("favicons").contains('"type": "image/png"')),
+        ("g14", "dns_prefetch_kept", d.contains("dns-prefetch")),
+        ("g14", "hint_only_link_kept", d.contains("hinted-")),
+        ("g15", "import_inlined", d.contains("data:text/css;base64,")),
+        ("g15", "url_comment_recorded", d.contains(
+            "/* original URL: https://example.com/i.png */")),
+        ("g15", "marker_leaked", d.contains("--mhtml-to-html-url")),
+        ("g15", "missing_url_keeps_address", d.contains("https://example.com/gone.png")),
     ]
 
 
@@ -703,6 +834,46 @@ _MHTML_GOLDEN_EXPECTED = [
     # document.test.js:104-122 (tracking/integrity/event handlers removed)
     ("g7", "onclick_left", False),
     ("g7", "ping_left", False),
+    # frames.test.js:33-38 (document frame inlined as srcdoc)
+    ("g8", "frame_srcdoc", True),
+    ("g8", "frame_inner", True),
+    # frames.test.js:40-56 (image frame -> data URI, provenance kept)
+    ("g9", "gif_parsed_as_markup", False),
+    ("g9", "gif_srcdoc", False),
+    ("g9", "gif_data_uri", True),
+    ("g9", "original_src_kept", True),
+    # frames.test.js:58-66 (octet-stream document still converted)
+    ("g10", "stream_srcdoc", True),
+    ("g10", "stream_inner", True),
+    # frames.test.js:77-93 (base64 frame decoded with its meta charset)
+    ("g11", "b64_frame_srcdoc", True),
+    ("g11", "b64_frame_decoded", True),
+    ("g11", "stale_frame_charset", False),
+    # srcset.test.js:22-35 (width + zero-density descriptors survive)
+    ("g12", "width_descriptors", True),
+    ("g12", "zero_density_kept", True),
+    # srcset.test.js:58-62 (missing candidate keeps its address)
+    ("g12", "missing_keeps_address", True),
+    # srcset.test.js:75-80 (comma inside the URL is not a separator)
+    ("g12", "comma_url_one_candidate", True),
+    # stylesheet.test.js:27-32,132-171 (media carried; style sets)
+    ("g13", "media_carried", True),
+    ("g13", "persistent_inlined", True),
+    ("g13", "alternate_stays_link", True),
+    ("g13", "alternate_title_kept", True),
+    ("g13", "alternate_welded_on", False),
+    ("g13", "titled_style_title_kept", True),
+    # document.test.js:201-225 (favicons reported+inlined; hints dropped)
+    ("g14", "favicon_inlined", True),
+    ("g14", "favicon_reported_sizes", True),
+    ("g14", "favicon_reported_type", True),
+    ("g14", "dns_prefetch_kept", False),
+    ("g14", "hint_only_link_kept", False),
+    # stylesheet.test.js:40-88 (url comment, import inlined, miss kept)
+    ("g15", "import_inlined", True),
+    ("g15", "url_comment_recorded", True),
+    ("g15", "marker_leaked", False),
+    ("g15", "missing_url_keeps_address", True),
 ]
 
 
@@ -717,7 +888,7 @@ def q_mhtml_golden(spark, sf_dir):
         [(cid, bytearray(raw)) for cid, raw in _golden_fixtures()],
         "archive_id string, content binary",
     )
-    pages = convert_archives(fixtures).select("archive_id", "data")
+    pages = convert_archives(fixtures).select("archive_id", "data", "favicons")
     pieces = [
         pages.filter(F.col("archive_id") == cid).select(
             F.col("archive_id").alias("case_id"),

@@ -473,6 +473,8 @@ def crawl_spark(
     recrawls_done = resumed_recrawls_done if start_round > 0 else 0
     robots_large = False
     n_debt_hosts = 0
+    # resume: one count() seeds the incremental robots-host counter
+    n_robots_hosts = robots_cache.count() if use_robots and start_round > 0 else 0
 
     for round_idx in range(start_round, max_rounds):
         # 0. recrawl injection: when the frontier drains with rounds
@@ -590,14 +592,24 @@ def crawl_spark(
             new_hosts = (
                 candidates.select("host").distinct().join(robots_cache, "host", "left_anti")
             )
+            # materialize only the NEW hosts' rules (O(new), usually
+            # tiny after round 1) and union them in lazily: the old
+            # shape re-checkpointed the WHOLE cache every round — an
+            # O(known-hosts) copy per round that dominated the
+            # robots-on overhead. The union chain stays shallow
+            # (one checkpointed piece per round) and snapshots flatten
+            # it when checkpointing is on.
             fetched_rules = new_hosts.mapInPandas(
                 _robots_batches, schema="host string, disallow string, crawl_delay_level int"
-            )
-            robots_cache = robots_cache.unionByName(fetched_rules).localCheckpoint(eager=True)
-            # the cache only grows, so once it crosses the threshold the
-            # hash join latches — the count() job runs only while the
-            # table is small (and stops forever after the crossing)
-            if not robots_large and robots_cache.count() > robots_broadcast_threshold:
+            ).localCheckpoint(eager=True)
+            n_new_hosts = fetched_rules.count()
+            if n_new_hosts:
+                robots_cache = robots_cache.unionByName(fetched_rules)
+                n_robots_hosts += n_new_hosts
+            # the cache only grows, so once it crosses the threshold
+            # the hash join latches; the counter is incremental — no
+            # per-round count() over the cache
+            if not robots_large and n_robots_hosts > robots_broadcast_threshold:
                 robots_large = True
             robots_side = robots_cache if robots_large else F.broadcast(robots_cache)
             with_rules = candidates.join(robots_side, "host", "left")

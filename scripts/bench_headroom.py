@@ -41,19 +41,41 @@ def main():
     )
 
     n_hosts = int(os.environ.get("SPARK_GRAFT_HEADROOM_HOSTS", "3000"))
+    rounds = int(os.environ.get("SPARK_GRAFT_HEADROOM_ROUNDS", "3"))
     seeds = [f"https://host{h}.example.com/seed/{i}" for h in range(n_hosts) for i in range(2)]
-    start = time.perf_counter()
-    res = crawl_spark(
-        spark, seeds, max_rounds=int(os.environ.get("SPARK_GRAFT_HEADROOM_ROUNDS", "3")), host_budget=64, collect_order=False,
-        decode_payload=True, fanout=8, n_hosts=n_hosts, hold_ms=0,
-    )
-    wall = time.perf_counter() - start
-    fetched = sum(m["fetched"] for m in res.metrics)
+
+    def run(use_robots: bool):
+        start = time.perf_counter()
+        res = crawl_spark(
+            spark, seeds, max_rounds=rounds, host_budget=64, collect_order=False,
+            decode_payload=True, fanout=8, n_hosts=n_hosts, hold_ms=0,
+            use_robots=use_robots,
+        )
+        wall = time.perf_counter() - start
+        fetched = sum(m["fetched"] for m in res.metrics)
+        return wall, fetched, [dict(m) for m in res.metrics]
+
+    # robots-off and robots-on interleaved best-of-N (shared-host noise
+    # protocol): the robots gate adds the per-host rules join + the
+    # token-bucket crawl-delay scaling — its overhead is the ratio
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_HEADROOM_REPEATS", "2")))
+    best = {}
+    for _ in range(repeats):
+        for name, robots in (("off", False), ("on", True)):
+            wall, fetched, metrics = run(robots)
+            if name not in best or wall < best[name][0]:
+                best[name] = (wall, fetched, metrics)
+    wall, fetched, metrics = best["off"]
+    wall_r, fetched_r, metrics_r = best["on"]
     print(json.dumps({
         "metric": "headroom crawl URLs fetched+decoded/sec (no hold)",
         "cpus": cpus, "wall_s": round(wall, 2), "urls": fetched,
         "urls_per_sec": round(fetched / wall, 1),
-        "rounds": [dict(m) for m in res.metrics],
+        "rounds": metrics,
+        "robots_wall_s": round(wall_r, 2), "robots_urls": fetched_r,
+        "robots_urls_per_sec": round(fetched_r / wall_r, 1),
+        "robots_overhead_x": round(wall_r / wall, 3) if wall else None,
+        "repeats": repeats,
     }))
     spark.stop()
 
