@@ -255,6 +255,8 @@ def _fetch_batches(
     payload_images: int = 2,
     payload_scale: int = 1,
     hold_ms: int = 0,
+    fetcher: str = "double",
+    http_timeout: float = 10.0,
 ):
     import functools as _ft
     import time as _t
@@ -264,6 +266,8 @@ def _fetch_batches(
     from .fixtures import fetch_with_retries
     from .seenset import url_hash64
 
+    if fetcher == "http":
+        from .httpclient import fetch_url_with_retries
     if decode_payload:
         from ..mime.splitter import parse_mhtml
         from ..sources.corpus import build_archive
@@ -279,7 +283,15 @@ def _fetch_batches(
         for key, host, depth, disc_seq, pos in zip(
             pdf["key"], pdf["host"], pdf["depth"], pdf["disc_seq"], pdf["pos"]
         ):
-            status, attempts, delay_ms = fetch_with_retries(key)
+            body = b""
+            if fetcher == "http":
+                # the production seam: real sockets, same retry
+                # contract/code as the double (frontier/httpclient.py)
+                status, attempts, delay_ms, _ct, body = fetch_url_with_retries(
+                    key, timeout=http_timeout
+                )
+            else:
+                status, attempts, delay_ms = fetch_with_retries(key)
             h64 = url_hash64(key)
             if hold_ms:
                 # per-attempt service-time hold, the reference's own
@@ -287,8 +299,13 @@ def _fetch_batches(
                 _t.sleep(attempts * hold_ms / 1000.0)
             if decode_payload and status == "ok":
                 # the fetched body IS an MHTML archive: run the payload
-                # stage inline (north-rule metric: URLs fetched+DECODED)
-                parse_mhtml(cached_build(h64 % 64, payload_images, payload_scale))
+                # stage inline (north-rule metric: URLs fetched+DECODED).
+                # With the real client the REAL bytes are decoded; the
+                # double synthesizes a stand-in body
+                if fetcher == "http" and body:
+                    parse_mhtml(body)
+                else:
+                    parse_mhtml(cached_build(h64 % 64, payload_images, payload_scale))
             rows.append(
                 {
                     "key": key,
@@ -370,6 +387,8 @@ def crawl_spark(
     max_recrawls: int = 1,
     debt_boost: bool = False,
     verbose: bool = False,
+    fetcher: str = "double",
+    http_timeout: float = 10.0,
 ) -> SparkCrawlResult:
     """Run the crawl to fixpoint (or ``max_rounds``); optionally
     checkpoint each round to ``checkpoint_dir`` and resume from the
@@ -747,6 +766,8 @@ def crawl_spark(
             payload_images=payload_images,
             payload_scale=payload_scale,
             hold_ms=hold_ms,
+            fetcher=fetcher,
+            http_timeout=http_timeout,
         )
         # 4 waves of tasks per slot: hash partitioning is only
         # approximately even, and with one wave the slowest partition
