@@ -769,12 +769,16 @@ def crawl_spark(
             fetcher=fetcher,
             http_timeout=http_timeout,
         )
-        # 4 waves of tasks per slot: hash partitioning is only
+        # 8 waves of tasks per slot: hash partitioning is only
         # approximately even, and with one wave the slowest partition
-        # IS the stage time — finer tasks cut the straggler tail
+        # IS the stage time. The stage's straggler tail is O(task
+        # size) (hold+decode are per-row costs), so finer tasks bound
+        # it tighter, while the added scheduling cost of 2x more tiny
+        # tasks is ~0.1s/stage — cheap insurance on a shared box and
+        # free at scale
         fetched = (
             manifest_df.select("key", "host", "depth", "disc_seq", "pos")
-            .repartition(n_par * 4, "key")
+            .repartition(n_par * 8, "key")
             .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
         fetched = fetched.localCheckpoint(eager=True)

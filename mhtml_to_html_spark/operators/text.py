@@ -168,12 +168,19 @@ def repetition_metrics(docs: DataFrame, n: int = 2, top_frac_max: float = 0.18) 
     DuckDB oracle replays the same list algebra.
     (Rae et al., Gopher §A.1.1 repetition filters; C4's boilerplate
     heuristics — public-paper semantics, Spark-native shape.)"""
-    # materialize grams once: referenced 3x below, and the alias is
-    # non-cheap so CollapseProject keeps the two Projects separate —
-    # one gram-array construction per row, not three
+    # materialize toks, THEN grams, each as its own aliased column:
+    # ngrams_col's transform lambda indexes the token array per gram,
+    # and a lambda body re-evaluates any non-column expression it
+    # references — feeding tokens_col() in directly re-ran the regexp
+    # split per gram (5x slower at sf0.1). The aliases are non-cheap
+    # and multiply-referenced, so CollapseProject keeps the Projects
+    # separate — one evaluation each, still a single stage.
     g = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        ngrams_col(tokens_col(), n).alias("grams"),
+        tokens_col().alias("toks"),
+    ).select(
+        "doc_id",
+        ngrams_col(F.col("toks"), n).alias("grams"),
     )
     grams = F.col("grams")
     total = F.size(grams)
