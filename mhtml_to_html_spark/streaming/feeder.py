@@ -62,6 +62,7 @@ def stream_crawl_job(
     use_robots: bool = False,
     resume: bool = False,
     stop_after_round: int | None = None,
+    fetcher: str = "double",
 ) -> dict:
     """Run the streaming crawl to fixpoint (or ``max_rounds``);
     returns ``{"rounds": [...], "fixpoint": bool, "next_round": int}``
@@ -114,6 +115,7 @@ def stream_crawl_job(
                 spark.readStream.schema(_FRONTIER_SCHEMA).parquet(src),
                 host_budget=host_budget,
                 use_robots=use_robots,
+                fetcher=fetcher,
             )
             .writeStream.foreachBatch(to_sink)
             .outputMode("append")

@@ -147,7 +147,10 @@ def _encode_seen(seen: set) -> list:
     return sorted(v - (1 << 64) if v >= 1 << 63 else v for v in seen)
 
 
-def _admit_host_batch(host: str, batch, seen: set, host_budget: int, use_robots: bool):
+def _admit_host_batch(
+    host: str, batch, seen: set, host_budget: int, use_robots: bool,
+    fetcher: str = "double",
+):
     """The per-host admission kernel, shared by BOTH stateful-operator
     shapes (applyInPandasWithState and transformWithStateInPandas):
     sort the micro-batch by the crawl priority (depth, host_rank,
@@ -165,6 +168,18 @@ def _admit_host_batch(host: str, batch, seen: set, host_budget: int, use_robots:
         robots_allows,
     )
     from ..frontier.seenset import url_hash64
+
+    if fetcher == "http":
+        # production seam: real sockets, same retry contract/code as
+        # the double (frontier/httpclient.py); the gate keeps only the
+        # (status, attempts, delay) triple — payload decode is a
+        # downstream stage
+        from ..frontier.httpclient import fetch_url_with_retries
+
+        def do_fetch(u):
+            return fetch_url_with_retries(u)[:3]
+    else:
+        do_fetch = fetch_with_retries
 
     budget = host_token_budget(host, host_budget) if use_robots else host_budget
     # revisit rows (recrawl manifests) FORGET their key first, so the
@@ -202,7 +217,7 @@ def _admit_host_batch(host: str, batch, seen: set, host_budget: int, use_robots:
             rows.append({**base, "status": "blocked", "attempts": 0, "delay_ms": 0})
             continue
         if admitted < budget:
-            status, attempts, delay_ms = fetch_with_retries(r.key)
+            status, attempts, delay_ms = do_fetch(r.key)
             seen.add(h)
             admitted += 1
             rows.append({**base, "status": status, "attempts": attempts, "delay_ms": delay_ms})
@@ -221,6 +236,7 @@ def _politeness_gate(
     host_budget: int = 8,
     use_robots: bool = False,
     graduate_after: int | None = None,
+    fetcher: str = "double",
 ):
     """applyInPandasWithState wrapper around :func:`_admit_host_batch`:
     the host's seen set (exact, or Bloom past graduation) + admission
@@ -242,7 +258,9 @@ def _politeness_gate(
         seen, fetched_total = HostSeen(graduate_after=graduate_after), 0
 
     batch = pd.concat(list(pdfs), ignore_index=True)
-    rows, admitted = _admit_host_batch(host, batch, seen, host_budget, use_robots)
+    rows, admitted = _admit_host_batch(
+        host, batch, seen, host_budget, use_robots, fetcher=fetcher
+    )
     state.update(seen.state_tuple(fetched_total + admitted))
     yield pd.DataFrame(rows, columns=_GATE_COLUMNS)
 
@@ -253,6 +271,7 @@ def stream_frontier_fetch(
     use_robots: bool = False,
     graduate_after: int | None = None,
     allow_revisit: bool = False,
+    fetcher: str = "double",
 ) -> DataFrame:
     """(url, depth, disc_seq) stream → fetch-result stream.
 
@@ -288,6 +307,7 @@ def stream_frontier_fetch(
             host_budget=host_budget,
             use_robots=use_robots,
             graduate_after=graduate_after,
+            fetcher=fetcher,
         ),
         outputStructType=GATE_SCHEMA,
         stateStructType=_GATE_STATE_SCHEMA,
@@ -310,6 +330,7 @@ class FrontierGateProcessor:
     (TWS contract)."""
 
     _graduate_after: int | None = None
+    _fetcher: str = "double"
 
     def init(self, handle):
         self._gate = handle.getValueState("gate", _GATE_STATE_SCHEMA)
@@ -328,7 +349,8 @@ class FrontierGateProcessor:
             seen, fetched_total = HostSeen(graduate_after=self._graduate_after), 0
         batch = pd.concat(list(rows), ignore_index=True)
         out, admitted = _admit_host_batch(
-            host, batch, seen, self._host_budget, self._use_robots
+            host, batch, seen, self._host_budget, self._use_robots,
+            fetcher=self._fetcher,
         )
         self._gate.update(seen.state_tuple(fetched_total + admitted))
         yield pd.DataFrame(out, columns=_GATE_COLUMNS)

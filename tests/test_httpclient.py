@@ -145,3 +145,43 @@ def test_crawl_spark_http_fetcher_end_to_end(spark, server):
     (m,) = res.metrics
     assert m["fetched"] == 8
     assert m["ok"] == 6 and m["failed"] == 2
+
+
+@pytest.mark.spark
+def test_streaming_gate_http_fetcher(spark, server, tmp_path):
+    """The streaming politeness gate with fetcher='http': admission,
+    dedup, and budgets run unchanged while each admitted URL is
+    fetched over a REAL socket from the stub server."""
+    import pandas as pd
+
+    from mhtml_to_html_spark.streaming.frontier import stream_frontier_fetch
+
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    schema = "url string, depth int, disc_seq long"
+    urls = [f"{server}/ok/st{i}" for i in range(4)] + [f"{server}/gone/st{i}" for i in range(2)]
+    spark.createDataFrame(
+        [(u, 0, i) for i, u in enumerate(urls)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def to_sink(df, batch_id):
+        df.coalesce(1).write.mode("append").parquet(sink)
+
+    q = (
+        stream_frontier_fetch(
+            spark.readStream.schema(schema).parquet(src),
+            host_budget=10,
+            fetcher="http",
+        )
+        .writeStream.foreachBatch(to_sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink).collect()
+    by_status = {}
+    for row in out:
+        by_status.setdefault(row["status"], set()).add(row["key"])
+    assert len(by_status.get("ok", ())) == 4
+    assert len(by_status.get("failed", ())) == 2
