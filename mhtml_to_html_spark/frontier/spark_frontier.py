@@ -63,7 +63,7 @@ _CANON_SCHEMA = (
 )
 _FETCH_SCHEMA = (
     "key string, host string, depth int, disc_seq long, pos long, status string, "
-    "attempts int, delay_ms long, h64 long"
+    "attempts int, delay_ms long, h64 long, children array<string>"
 )
 _SEEN_SCHEMA = "key string, h64 long, host string, fetched_round int"
 _CHILD_SCHEMA = "parent_pos long, child_idx int, url string, depth int"
@@ -249,6 +249,55 @@ def _robots_batches(batches):
         )
 
 
+def extract_links(body: bytes) -> list[str]:
+    """Anchor URLs of a fetched archive's index document — the
+    real-crawl discovery path (the reference's collecting walk over
+    the converted page, lib/convert.js:129-146): parse the MHTML,
+    take the index document (already charset-decoded by the splitter
+    cascade), resolve every <a href> against its Content-Location,
+    keep the fetchable ones in document order, first occurrence wins.
+    Runs inside the fetch UDF on bytes already in memory — no second
+    pass over the corpus."""
+    import urllib.parse
+
+    from ..mime.dom import Element, parse_html
+    from ..mime.splitter import parse_mhtml
+    from ..urlnorm import is_fetchable
+
+    try:
+        res = parse_mhtml(body)
+    except Exception:
+        return []
+    index = next((part for part in res.parts if part.is_index), None)
+    if index is None or not index.text:
+        return []
+    base = index.content_location or ""
+    try:
+        doc = parse_html(index.text)
+    except Exception:
+        return []
+    out: list[str] = []
+    seen_local: set[str] = set()
+    stack = [doc]
+    while stack:
+        node = stack.pop()
+        kids = getattr(node, "children", None) or []
+        for child in reversed(kids):
+            stack.append(child)
+        if isinstance(node, Element) and node.tag == "a":
+            href = node.get_attribute("href")
+            if not href:
+                continue
+            try:
+                absu = urllib.parse.urljoin(base, href)
+            except Exception:
+                continue
+            if absu and is_fetchable(absu) and absu not in seen_local:
+                seen_local.add(absu)
+                out.append(absu)
+    return out
+
+
 def _fetch_batches(
     batches,
     decode_payload: bool = False,
@@ -257,6 +306,7 @@ def _fetch_batches(
     hold_ms: int = 0,
     fetcher: str = "double",
     http_timeout: float = 10.0,
+    discover: str = "scripted",
 ):
     import functools as _ft
     import time as _t
@@ -284,6 +334,7 @@ def _fetch_batches(
             pdf["key"], pdf["host"], pdf["depth"], pdf["disc_seq"], pdf["pos"]
         ):
             body = b""
+            children = []
             if fetcher == "http":
                 # the production seam: real sockets, same retry
                 # contract/code as the double (frontier/httpclient.py)
@@ -306,6 +357,11 @@ def _fetch_batches(
                     parse_mhtml(body)
                 else:
                     parse_mhtml(cached_build(h64 % 64, payload_images, payload_scale))
+            children: list[str] = []
+            if discover == "parse" and status == "ok" and body:
+                # real-crawl discovery: links come from the fetched
+                # bytes, not the scripted children_of world
+                children = extract_links(body)
             rows.append(
                 {
                     "key": key,
@@ -318,13 +374,14 @@ def _fetch_batches(
                     "delay_ms": delay_ms,
                     # signed two's-complement so the value fits LongType
                     "h64": h64 - (1 << 64) if h64 >= 1 << 63 else h64,
+                    "children": children if discover == "parse" else [],
                 }
             )
         yield pd.DataFrame(
             rows,
             columns=[
                 "key", "host", "depth", "disc_seq", "pos", "status", "attempts",
-                "delay_ms", "h64",
+                "delay_ms", "h64", "children",
             ],
         )
 
@@ -389,6 +446,7 @@ def crawl_spark(
     verbose: bool = False,
     fetcher: str = "double",
     http_timeout: float = 10.0,
+    discover: str = "scripted",
 ) -> SparkCrawlResult:
     """Run the crawl to fixpoint (or ``max_rounds``); optionally
     checkpoint each round to ``checkpoint_dir`` and resume from the
@@ -768,6 +826,7 @@ def crawl_spark(
             hold_ms=hold_ms,
             fetcher=fetcher,
             http_timeout=http_timeout,
+            discover=discover,
         )
         # 8 waves of tasks per slot: hash partitioning is only
         # approximately even, and with one wave the slowest partition
@@ -789,10 +848,21 @@ def crawl_spark(
         #    distributed index assignment (fanout×fetched rows is the
         #    bigger of the two per-round orderings)
         ok = fetched.filter(F.col("status") == "ok")
-        children_fn = functools.partial(_children_batches, fanout=fanout, n_hosts=n_hosts)
-        children = ok.select("pos", "key", "depth").mapInPandas(
-            children_fn, schema=_CHILD_SCHEMA
-        )
+        if discover == "parse":
+            # children parsed from the fetched bodies inside the fetch
+            # UDF (already eligibility-filtered, document order): one
+            # JVM-side posexplode, no second Python pass
+            children = ok.select("pos", "depth", F.posexplode("children").alias("child_idx", "url")).select(
+                F.col("pos").alias("parent_pos"),
+                F.col("child_idx").cast("int").alias("child_idx"),
+                "url",
+                (F.col("depth") + 1).cast("int").alias("depth"),
+            )
+        else:
+            children_fn = functools.partial(_children_batches, fanout=fanout, n_hosts=n_hosts)
+            children = ok.select("pos", "key", "depth").mapInPandas(
+                children_fn, schema=_CHILD_SCHEMA
+            )
         n_discovered = None
         if use_dist_index:
             discovered, n_discovered = assign_global_index(
