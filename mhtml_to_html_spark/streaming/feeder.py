@@ -63,6 +63,7 @@ def stream_crawl_job(
     resume: bool = False,
     stop_after_round: int | None = None,
     fetcher: str = "double",
+    discover: str = "scripted",
 ) -> dict:
     """Run the streaming crawl to fixpoint (or ``max_rounds``);
     returns ``{"rounds": [...], "fixpoint": bool, "next_round": int}``
@@ -116,6 +117,7 @@ def stream_crawl_job(
                 host_budget=host_budget,
                 use_robots=use_robots,
                 fetcher=fetcher,
+                discover=discover,
             )
             .writeStream.foreachBatch(to_sink)
             .outputMode("append")
@@ -144,7 +146,15 @@ def stream_crawl_job(
         ]
         for row in fetched:
             if row["status"] == "ok":
-                for child in children_of(row["key"], fanout, n_hosts):
+                # discover="parse": links came out of the fetched
+                # bytes inside the gate (already eligibility-filtered
+                # in document order); otherwise the scripted world
+                kids = (
+                    list(row["children"] or [])
+                    if discover == "parse"
+                    else children_of(row["key"], fanout, n_hosts)
+                )
+                for child in kids:
                     # children enter raw (the gate unwraps urns
                     # itself); only seeds pre-unwrap, mirroring the
                     # batch crawl's seed injection

@@ -150,6 +150,7 @@ def _encode_seen(seen: set) -> list:
 def _admit_host_batch(
     host: str, batch, seen: set, host_budget: int, use_robots: bool,
     fetcher: str = "double",
+    discover: str = "scripted",
 ):
     """The per-host admission kernel, shared by BOTH stateful-operator
     shapes (applyInPandasWithState and transformWithStateInPandas):
@@ -169,17 +170,29 @@ def _admit_host_batch(
     )
     from ..frontier.seenset import url_hash64
 
+    parse_links = discover == "parse"
     if fetcher == "http":
         # production seam: real sockets, same retry contract/code as
-        # the double (frontier/httpclient.py); the gate keeps only the
-        # (status, attempts, delay) triple — payload decode is a
+        # the double (frontier/httpclient.py). With discover="parse"
+        # the fetched bytes also yield the page's anchor links (the
+        # real-crawl collecting walk) — otherwise the gate keeps only
+        # the (status, attempts, delay) triple; payload decode is a
         # downstream stage
         from ..frontier.httpclient import fetch_url_with_retries
 
-        def do_fetch(u):
-            return fetch_url_with_retries(u)[:3]
+        if parse_links:
+            from ..frontier.spark_frontier import extract_links
+
+            def do_fetch(u):
+                status, attempts, delay, _ct, body = fetch_url_with_retries(u)
+                kids = extract_links(body) if status == "ok" and body else []
+                return status, attempts, delay, kids
+        else:
+            def do_fetch(u):
+                return fetch_url_with_retries(u)[:3] + ([],)
     else:
-        do_fetch = fetch_with_retries
+        def do_fetch(u):
+            return fetch_with_retries(u) + ([],)
 
     budget = host_token_budget(host, host_budget) if use_robots else host_budget
     # revisit rows (recrawl manifests) FORGET their key first, so the
@@ -212,21 +225,27 @@ def _admit_host_batch(
             "depth": int(r.depth),
             "disc_seq": int(r.disc_seq),
         }
+        if parse_links:
+            base["children"] = []
         if use_robots and not robots_allows(host, r.key):
             seen.add(h)  # permanently blocked — reported exactly once
             rows.append({**base, "status": "blocked", "attempts": 0, "delay_ms": 0})
             continue
         if admitted < budget:
-            status, attempts, delay_ms = do_fetch(r.key)
+            status, attempts, delay_ms, kids = do_fetch(r.key)
             seen.add(h)
             admitted += 1
-            rows.append({**base, "status": status, "attempts": attempts, "delay_ms": delay_ms})
+            row = {**base, "status": status, "attempts": attempts, "delay_ms": delay_ms}
+            if parse_links:
+                row["children"] = kids
+            rows.append(row)
         else:
             rows.append({**base, "status": "deferred", "attempts": 0, "delay_ms": 0})
     return rows, admitted
 
 
 _GATE_COLUMNS = ["key", "url", "host", "depth", "disc_seq", "status", "attempts", "delay_ms"]
+_GATE_COLUMNS_PARSE = _GATE_COLUMNS + ["children"]
 
 
 def _politeness_gate(
@@ -237,6 +256,7 @@ def _politeness_gate(
     use_robots: bool = False,
     graduate_after: int | None = None,
     fetcher: str = "double",
+    discover: str = "scripted",
 ):
     """applyInPandasWithState wrapper around :func:`_admit_host_batch`:
     the host's seen set (exact, or Bloom past graduation) + admission
@@ -259,10 +279,12 @@ def _politeness_gate(
 
     batch = pd.concat(list(pdfs), ignore_index=True)
     rows, admitted = _admit_host_batch(
-        host, batch, seen, host_budget, use_robots, fetcher=fetcher
+        host, batch, seen, host_budget, use_robots, fetcher=fetcher,
+        discover=discover,
     )
     state.update(seen.state_tuple(fetched_total + admitted))
-    yield pd.DataFrame(rows, columns=_GATE_COLUMNS)
+    cols = _GATE_COLUMNS_PARSE if discover == "parse" else _GATE_COLUMNS
+    yield pd.DataFrame(rows, columns=cols)
 
 
 def stream_frontier_fetch(
@@ -272,6 +294,7 @@ def stream_frontier_fetch(
     graduate_after: int | None = None,
     allow_revisit: bool = False,
     fetcher: str = "double",
+    discover: str = "scripted",
 ) -> DataFrame:
     """(url, depth, disc_seq) stream → fetch-result stream.
 
@@ -308,8 +331,11 @@ def stream_frontier_fetch(
             use_robots=use_robots,
             graduate_after=graduate_after,
             fetcher=fetcher,
+            discover=discover,
         ),
-        outputStructType=GATE_SCHEMA,
+        outputStructType=(
+            GATE_SCHEMA + ", children array<string>" if discover == "parse" else GATE_SCHEMA
+        ),
         stateStructType=_GATE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -258,3 +258,57 @@ def test_crawl_spark_parse_discovery_real_world(spark):
         assert len(res.seen) == 4  # exactly-once despite c linked twice
     finally:
         srv.shutdown()
+
+
+@pytest.mark.spark
+def test_stream_crawl_job_real_site(spark, tmp_path):
+    """The streaming feeder job as a REAL crawler: fetcher='http' +
+    discover='parse' crawls a live stub-server site to fixpoint —
+    links parsed from fetched bytes inside the politeness gate, BFS
+    rounds, exactly-once for the doubly-linked page."""
+    from mhtml_to_html_spark.streaming.feeder import (
+        stream_crawl_job,
+        stream_crawl_order,
+    )
+
+    site = {}
+
+    class _SiteHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = site.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "multipart/related")
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
+    origin = f"http://127.0.0.1:{srv.server_address[1]}"
+    site["/s/a"] = _mhtml_page(f"{origin}/s/a", [f"{origin}/s/b", f"{origin}/s/c"])
+    site["/s/b"] = _mhtml_page(f"{origin}/s/b", ["c", f"{origin}/s/d"])
+    site["/s/c"] = _mhtml_page(f"{origin}/s/c", [])
+    site["/s/d"] = _mhtml_page(f"{origin}/s/d", [])
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        res = stream_crawl_job(
+            spark,
+            [f"{origin}/s/a"],
+            str(tmp_path / "job"),
+            max_rounds=5,
+            host_budget=16,
+            fetcher="http",
+            discover="parse",
+        )
+        assert res["fixpoint"] is True
+        order = stream_crawl_order(spark, str(tmp_path / "job"))
+        assert [e["url"].rsplit("/", 1)[-1] for e in order] == ["a", "b", "c", "d"]
+        assert [e["round"] for e in order] == [0, 1, 1, 2]
+        assert all(e["status"] == "ok" for e in order)
+    finally:
+        srv.shutdown()
