@@ -334,7 +334,6 @@ def _fetch_batches(
             pdf["key"], pdf["host"], pdf["depth"], pdf["disc_seq"], pdf["pos"]
         ):
             body = b""
-            children = []
             if fetcher == "http":
                 # the production seam: real sockets, same retry
                 # contract/code as the double (frontier/httpclient.py)
@@ -462,6 +461,11 @@ def crawl_spark(
     as shard rows co-partitioned with their keys, so nothing needs one
     machine to hold (or broadcast) the whole filter."""
     from ..urlnorm import is_fetchable, unwrap_urn
+
+    if discover == "parse" and fetcher != "http":
+        # the scripted double carries no body, so parse-discovery would
+        # silently crawl nothing past the seeds
+        raise ValueError('discover="parse" requires fetcher="http"')
 
     assert seen_shards & (seen_shards - 1) == 0, "seen_shards must be a power of two"
 

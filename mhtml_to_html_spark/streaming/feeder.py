@@ -64,6 +64,7 @@ def stream_crawl_job(
     stop_after_round: int | None = None,
     fetcher: str = "double",
     discover: str = "scripted",
+    pass_timeout_s: int = 600,
 ) -> dict:
     """Run the streaming crawl to fixpoint (or ``max_rounds``);
     returns ``{"rounds": [...], "fixpoint": bool, "next_round": int}``
@@ -107,9 +108,13 @@ def stream_crawl_job(
         feeder_round = r
 
         def to_sink(df, batch_id, _r=feeder_round):
+            # one subdirectory per round: the per-round read below and
+            # any later order collection scan only what they need (a
+            # single growing directory would make round N re-scan all
+            # N-1 earlier rounds — quadratic I/O over the crawl)
             df.withColumn("feeder_round", F.lit(_r)).coalesce(1).write.mode(
                 "append"
-            ).parquet(sink)
+            ).parquet(f"{sink}/r{_r:06d}")
 
         q = (
             stream_frontier_fetch(
@@ -125,15 +130,23 @@ def stream_crawl_job(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(pass_timeout_s):
+            # committing feeder state off a partially-written sink
+            # would silently drop the in-flight URLs forever (they are
+            # already in the gate's seen state) — fail loudly instead
+            q.stop()
+            raise RuntimeError(
+                f"streaming pass for round {feeder_round} exceeded "
+                f"{pass_timeout_s}s; feeder state NOT committed — "
+                "re-run with resume=True (the gate checkpoint dedups)"
+            )
 
-        out = (
-            spark.read.parquet(sink)
-            .filter(F.col("feeder_round") == feeder_round)
-            .collect()
-        )
+        out = spark.read.parquet(f"{sink}/r{feeder_round:06d}").collect()
+        # blocked rows (use_robots) are reported once and join the seen
+        # set but get NO crawl-order position and do not count as
+        # fetched — the batch oracle's semantics
         fetched = sorted(
-            (row for row in out if row["status"] != "deferred"),
+            (row for row in out if row["status"] not in ("deferred", "blocked")),
             key=lambda row: (row["depth"], host_rank(row["host"]), row["disc_seq"]),
         )
         # next frontier: deferred re-queue first (they keep their
@@ -168,6 +181,7 @@ def stream_crawl_job(
                 "ok": sum(1 for row in fetched if row["status"] == "ok"),
                 "failed": sum(1 for row in fetched if row["status"] == "failed"),
                 "deferred": sum(1 for row in out if row["status"] == "deferred"),
+                "blocked": sum(1 for row in out if row["status"] == "blocked"),
                 "discovered": disc,
             }
         )
@@ -198,14 +212,15 @@ def stream_crawl_order(spark: SparkSession, work_dir: str) -> list[dict]:
     collect, not part of the job's steady-state path."""
     from ..frontier.fixtures import host_rank
 
-    out = spark.read.parquet(f"{work_dir}/sink").collect()
+    out = spark.read.parquet(f"{work_dir}/sink/r*").collect()
     order = []
     for r in sorted({row["feeder_round"] for row in out}):
         fetched = sorted(
             (
                 row
                 for row in out
-                if row["feeder_round"] == r and row["status"] != "deferred"
+                if row["feeder_round"] == r
+                and row["status"] not in ("deferred", "blocked")
             ),
             key=lambda row: (row["depth"], host_rank(row["host"]), row["disc_seq"]),
         )

@@ -269,7 +269,14 @@ def _politeness_gate(
         state.remove()
         return
     if state.exists:
-        seen_list, fetched_total, bloom_blob, pending_list = state.get
+        vals = state.get
+        # pre-r4 checkpoints carried 3 state fields (no revisit
+        # pending set); tolerate both layouts. NOTE: Spark's state
+        # store ALSO validates the declared schema, so restoring an
+        # old checkpoint additionally needs its state rewritten to the
+        # 4-field layout offline (the catalog migration note applies)
+        seen_list, fetched_total, bloom_blob = vals[0], vals[1], vals[2]
+        pending_list = vals[3] if len(vals) > 3 else []
         seen = HostSeen(
             _decode_seen(seen_list), bloom_blob, graduate_after,
             pending=_decode_seen(pending_list or []),
@@ -320,6 +327,8 @@ def stream_frontier_fetch(
         F.col("url").rlike("^(?i)urn:[^:]+:.+"),
         F.regexp_extract(F.col("url"), "^(?i)urn:[^:]+:(.+)$", 1),
     ).otherwise(F.col("url"))
+    if discover == "parse" and fetcher != "http":
+        raise ValueError('discover="parse" requires fetcher="http"')
     canon_schema = _CANON_SCHEMA + (", revisit boolean" if allow_revisit else "")
     canon = eligible.withColumn("url", unwrapped).mapInPandas(
         _canonicalize_batches, schema=canon_schema
@@ -357,6 +366,7 @@ class FrontierGateProcessor:
 
     _graduate_after: int | None = None
     _fetcher: str = "double"
+    _discover: str = "scripted"
 
     def init(self, handle):
         self._gate = handle.getValueState("gate", _GATE_STATE_SCHEMA)
@@ -376,10 +386,11 @@ class FrontierGateProcessor:
         batch = pd.concat(list(rows), ignore_index=True)
         out, admitted = _admit_host_batch(
             host, batch, seen, self._host_budget, self._use_robots,
-            fetcher=self._fetcher,
+            fetcher=self._fetcher, discover=self._discover,
         )
         self._gate.update(seen.state_tuple(fetched_total + admitted))
-        yield pd.DataFrame(out, columns=_GATE_COLUMNS)
+        cols = _GATE_COLUMNS_PARSE if self._discover == "parse" else _GATE_COLUMNS
+        yield pd.DataFrame(out, columns=cols)
 
     def close(self):
         pass
@@ -390,6 +401,8 @@ def stream_frontier_fetch_tws(
     host_budget: int = 8,
     use_robots: bool = False,
     graduate_after: int | None = None,
+    fetcher: str = "double",
+    discover: str = "scripted",
 ) -> DataFrame:
     """:func:`stream_frontier_fetch` on the transformWithStateInPandas
     API — same canonicalization, same admission kernel, same output
@@ -405,10 +418,16 @@ def stream_frontier_fetch_tws(
     proc_cls = type(
         "_BoundFrontierGateProcessor", (FrontierGateProcessor, StatefulProcessor), {}
     )
+    if discover == "parse" and fetcher != "http":
+        raise ValueError('discover="parse" requires fetcher="http"')
     proc = proc_cls()
+    # instance attributes (the class-level declarations are defaults,
+    # never mutated — two concurrently-configured gates must not share)
     proc._host_budget = host_budget
     proc._use_robots = use_robots
     proc._graduate_after = graduate_after
+    proc._fetcher = fetcher
+    proc._discover = discover
 
     eligible = urls_stream.filter(F.col("url").rlike("^(?i)(https?|urn):"))
     unwrapped = F.when(
@@ -420,7 +439,9 @@ def stream_frontier_fetch_tws(
     )
     return canon.groupBy("host").transformWithStateInPandas(
         statefulProcessor=proc,
-        outputStructType=GATE_SCHEMA,
+        outputStructType=(
+            GATE_SCHEMA + ", children array<string>" if discover == "parse" else GATE_SCHEMA
+        ),
         outputMode="append",
         timeMode="none",
     )

@@ -770,3 +770,29 @@ def test_stream_crawl_job_restart_parity(spark, tmp_path):
     assert [(m["round"], m["fetched"]) for m in all_rounds] == [
         (m["round"], m["fetched"]) for m in oracle.metrics
     ]
+
+
+@pytest.mark.spark
+def test_stream_crawl_job_robots_parity(spark, tmp_path):
+    """Robots-enabled streaming feeder job: blocked URLs are reported
+    in metrics but get NO crawl-order position and never count as
+    fetched — the full ordering must still match the batch oracle
+    byte-for-byte."""
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+    from mhtml_to_html_spark.streaming.feeder import (
+        stream_crawl_job,
+        stream_crawl_order,
+    )
+
+    SEEDS, ROUNDS, BUDGET = seed_urls(4, 2), 3, 5
+    oracle = crawl_oracle(SEEDS, max_rounds=ROUNDS, host_budget=BUDGET, use_robots=True)
+    work = str(tmp_path / "robots_job")
+    res = stream_crawl_job(
+        spark, SEEDS, work, max_rounds=ROUNDS, host_budget=BUDGET, use_robots=True
+    )
+    got = stream_crawl_order(spark, work)
+    assert got == oracle.order
+    assert [(m["round"], m["fetched"], m["blocked"]) for m in res["rounds"]] == [
+        (m["round"], m["fetched"], m["blocked"]) for m in oracle.metrics
+    ]
