@@ -446,6 +446,7 @@ def crawl_spark(
     fetcher: str = "double",
     http_timeout: float = 10.0,
     discover: str = "scripted",
+    fetch_rows_per_task: int = 24,
 ) -> SparkCrawlResult:
     """Run the crawl to fixpoint (or ``max_rounds``); optionally
     checkpoint each round to ``checkpoint_dir`` and resume from the
@@ -832,16 +833,28 @@ def crawl_spark(
             http_timeout=http_timeout,
             discover=discover,
         )
-        # 8 waves of tasks per slot: hash partitioning is only
-        # approximately even, and with one wave the slowest partition
-        # IS the stage time. The stage's straggler tail is O(task
-        # size) (hold+decode are per-row costs), so finer tasks bound
-        # it tighter, while the added scheduling cost of 2x more tiny
-        # tasks is ~0.1s/stage — cheap insurance on a shared box and
-        # free at scale
+        # Fetch partitioning is ADAPTIVE to the round's manifest size.
+        # Two opposing costs: the straggler tail of the stage is
+        # O(task size) (hold+decode are per-row costs), so finer tasks
+        # bound it tighter — but every mapInPandas task pays a fixed
+        # Python-worker/Arrow round-trip (~10-20ms), so at small
+        # manifests extra waves are pure scheduling overhead (a fixed
+        # 8-waves-per-slot policy put ~1 row in each of 256 tasks at
+        # toy rounds and cost the round-4 bench 16.3s → 24s; the
+        # round-5 bisect pinned it to exactly that commit). Policy:
+        # enough partitions that a task holds ~fetch_rows_per_task
+        # rows, never fewer than one wave (all slots busy once there
+        # is enough work), capped at 8 waves per slot — at 10^10-URL
+        # rounds the cap binds and the behavior is the old fine-wave
+        # insurance; at toy rounds the floor binds and tasks stay fat
+        # enough to amortize their fixed cost.
+        n_fetchable = int(bcounts["fetchable"] or 0)
+        n_fetch_parts = min(
+            n_par * 8, max(n_par, -(-n_fetchable // fetch_rows_per_task))
+        )
         fetched = (
             manifest_df.select("key", "host", "depth", "disc_seq", "pos")
-            .repartition(n_par * 8, "key")
+            .repartition(n_fetch_parts, "key")
             .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
         fetched = fetched.localCheckpoint(eager=True)
