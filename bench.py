@@ -82,6 +82,30 @@ def bench_frontier(spark):
     return sum(m["fetched"] for m in res.metrics)
 
 
+def bench_stream_crawl(spark):
+    """The streaming twin of :func:`bench_frontier`: identical seed
+    world, budget, fanout, and payload decode, but through the
+    stateful politeness gate + feeder job. The delta vs
+    frontier_crawl measures gate/feeder overhead (state round-trips,
+    checkpoint commits, per-round stream startup) — the batch loop is
+    the oracle for the fetch counts."""
+    import shutil
+    import tempfile
+
+    from mhtml_to_html_spark.streaming.feeder import stream_crawl_job
+
+    seeds = [f"https://host{h}.example.com/seed/{i}" for h in range(150) for i in range(2)]
+    work_dir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        res = stream_crawl_job(
+            spark, seeds, work_dir=work_dir, max_rounds=3, host_budget=24,
+            fanout=6, n_hosts=150, decode_payload=True,
+        )
+        return sum(m["fetched"] for m in res["rounds"])
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
 def bench_mhtml_decode(spark, sf_dir):
     """The payload stage: synth archives → split → extract images with
     captions; count forces full decode of every part."""
@@ -197,6 +221,7 @@ def main():
     units.append(("mhtml_decode", lambda: bench_mhtml_decode(spark, SF_DIR)))
     units.append(("mhtml_pages", lambda: bench_mhtml_pages(spark)))
     units.append(("frontier_crawl", lambda: bench_frontier(spark)))
+    units.append(("stream_crawl_job", lambda: bench_stream_crawl(spark)))
     for _ in range(warm_passes):
         for _name, fn in units:
             fn()

@@ -147,10 +147,24 @@ def _encode_seen(seen: set) -> list:
     return sorted(v - (1 << 64) if v >= 1 << 63 else v for v in seen)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_archive(idx: int, images: int, scale: int) -> bytes:
+    """Synthetic archive pool for decode_payload with the scripted
+    double — module-level so the cache lives for the Python worker's
+    lifetime (the long-running-service amortization; the batch path's
+    per-task lru_cache in ``_fetch_batches`` is the same contract)."""
+    from ..sources.corpus import build_archive
+
+    return build_archive(idx, images, scale)
+
+
 def _admit_host_batch(
     host: str, batch, seen: set, host_budget: int, use_robots: bool,
     fetcher: str = "double",
     discover: str = "scripted",
+    decode_payload: bool = False,
+    payload_images: int = 2,
+    payload_scale: int = 1,
 ):
     """The per-host admission kernel, shared by BOTH stateful-operator
     shapes (applyInPandasWithState and transformWithStateInPandas):
@@ -171,28 +185,43 @@ def _admit_host_batch(
     from ..frontier.seenset import url_hash64
 
     parse_links = discover == "parse"
+    if decode_payload:
+        # north-rule parity with the batch crawl's fetch stage: each
+        # ok fetch runs the MHTML payload decode inline (real bytes
+        # with the http client, the synthetic pool with the double)
+        from ..mime.splitter import parse_mhtml
     if fetcher == "http":
         # production seam: real sockets, same retry contract/code as
         # the double (frontier/httpclient.py). With discover="parse"
         # the fetched bytes also yield the page's anchor links (the
-        # real-crawl collecting walk) — otherwise the gate keeps only
-        # the (status, attempts, delay) triple; payload decode is a
-        # downstream stage
+        # real-crawl collecting walk); without decode_payload the gate
+        # keeps only the (status, attempts, delay) triple and payload
+        # decode is a downstream stage
         from ..frontier.httpclient import fetch_url_with_retries
 
         if parse_links:
             from ..frontier.spark_frontier import extract_links
 
-            def do_fetch(u):
-                status, attempts, delay, _ct, body = fetch_url_with_retries(u)
-                kids = extract_links(body) if status == "ok" and body else []
-                return status, attempts, delay, kids
-        else:
-            def do_fetch(u):
-                return fetch_url_with_retries(u)[:3] + ([],)
+        def do_fetch(u):
+            status, attempts, delay, _ct, body = fetch_url_with_retries(u)
+            kids = (
+                extract_links(body)
+                if parse_links and status == "ok" and body
+                else []
+            )
+            if decode_payload and status == "ok" and body:
+                parse_mhtml(body)
+            return status, attempts, delay, kids
     else:
         def do_fetch(u):
-            return fetch_with_retries(u) + ([],)
+            out = fetch_with_retries(u)
+            if decode_payload and out[0] == "ok":
+                parse_mhtml(
+                    _cached_archive(
+                        url_hash64(u) % 64, payload_images, payload_scale
+                    )
+                )
+            return out + ([],)
 
     budget = host_token_budget(host, host_budget) if use_robots else host_budget
     # revisit rows (recrawl manifests) FORGET their key first, so the
@@ -257,6 +286,9 @@ def _politeness_gate(
     graduate_after: int | None = None,
     fetcher: str = "double",
     discover: str = "scripted",
+    decode_payload: bool = False,
+    payload_images: int = 2,
+    payload_scale: int = 1,
 ):
     """applyInPandasWithState wrapper around :func:`_admit_host_batch`:
     the host's seen set (exact, or Bloom past graduation) + admission
@@ -287,7 +319,8 @@ def _politeness_gate(
     batch = pd.concat(list(pdfs), ignore_index=True)
     rows, admitted = _admit_host_batch(
         host, batch, seen, host_budget, use_robots, fetcher=fetcher,
-        discover=discover,
+        discover=discover, decode_payload=decode_payload,
+        payload_images=payload_images, payload_scale=payload_scale,
     )
     state.update(seen.state_tuple(fetched_total + admitted))
     cols = _GATE_COLUMNS_PARSE if discover == "parse" else _GATE_COLUMNS
@@ -302,6 +335,9 @@ def stream_frontier_fetch(
     allow_revisit: bool = False,
     fetcher: str = "double",
     discover: str = "scripted",
+    decode_payload: bool = False,
+    payload_images: int = 2,
+    payload_scale: int = 1,
 ) -> DataFrame:
     """(url, depth, disc_seq) stream → fetch-result stream.
 
@@ -341,6 +377,9 @@ def stream_frontier_fetch(
             graduate_after=graduate_after,
             fetcher=fetcher,
             discover=discover,
+            decode_payload=decode_payload,
+            payload_images=payload_images,
+            payload_scale=payload_scale,
         ),
         outputStructType=(
             GATE_SCHEMA + ", children array<string>" if discover == "parse" else GATE_SCHEMA
@@ -367,6 +406,9 @@ class FrontierGateProcessor:
     _graduate_after: int | None = None
     _fetcher: str = "double"
     _discover: str = "scripted"
+    _decode_payload: bool = False
+    _payload_images: int = 2
+    _payload_scale: int = 1
 
     def init(self, handle):
         self._gate = handle.getValueState("gate", _GATE_STATE_SCHEMA)
@@ -387,6 +429,9 @@ class FrontierGateProcessor:
         out, admitted = _admit_host_batch(
             host, batch, seen, self._host_budget, self._use_robots,
             fetcher=self._fetcher, discover=self._discover,
+            decode_payload=self._decode_payload,
+            payload_images=self._payload_images,
+            payload_scale=self._payload_scale,
         )
         self._gate.update(seen.state_tuple(fetched_total + admitted))
         cols = _GATE_COLUMNS_PARSE if self._discover == "parse" else _GATE_COLUMNS
@@ -403,6 +448,9 @@ def stream_frontier_fetch_tws(
     graduate_after: int | None = None,
     fetcher: str = "double",
     discover: str = "scripted",
+    decode_payload: bool = False,
+    payload_images: int = 2,
+    payload_scale: int = 1,
 ) -> DataFrame:
     """:func:`stream_frontier_fetch` on the transformWithStateInPandas
     API — same canonicalization, same admission kernel, same output
@@ -428,6 +476,9 @@ def stream_frontier_fetch_tws(
     proc._graduate_after = graduate_after
     proc._fetcher = fetcher
     proc._discover = discover
+    proc._decode_payload = decode_payload
+    proc._payload_images = payload_images
+    proc._payload_scale = payload_scale
 
     eligible = urls_stream.filter(F.col("url").rlike("^(?i)(https?|urn):"))
     unwrapped = F.when(

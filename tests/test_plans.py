@@ -332,3 +332,52 @@ def test_bench_action_is_pruning_proof(spark):
     plan_c = plan_of(entrymod.q_text_quality(spark, SF_DIR).groupBy().count())
     rs_c = [ln for ln in plan_c.splitlines() if "ReadSchema" in ln][0]
     assert "text" not in rs_c
+
+
+def test_feeder_round_path_never_collects():
+    """The streaming feeder's round barrier must stay distributed
+    (round-4 verdict item 1): the only driver materializations allowed
+    in ``streaming/feeder.py`` are (a) aggregate counters — a
+    ``.collect()`` whose receiver chain contains an ``.agg(...)`` call,
+    bounded rows by construction — and (b) the explicitly-sanctioned
+    test/debug helper ``stream_crawl_order``. Full-output collects,
+    driver-side frontier rebuilds, and ``coalesce(1)`` single-task
+    write funnels are all regressions this gate catches."""
+    import ast
+    import inspect
+
+    from mhtml_to_html_spark.streaming import feeder
+
+    src = inspect.getsource(feeder)
+    assert "coalesce(1)" not in src, "single-task write funnel in the feeder"
+
+    tree = ast.parse(src)
+
+    def chain_has_agg(node) -> bool:
+        while True:
+            if isinstance(node, ast.Call):
+                if isinstance(node.func, ast.Attribute) and node.func.attr == "agg":
+                    return True
+                node = node.func
+            elif isinstance(node, ast.Attribute):
+                node = node.value
+            elif isinstance(node, ast.Subscript):
+                node = node.value
+            else:
+                return False
+
+    offenders = []
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        if fn.name == "stream_crawl_order":
+            continue  # sanctioned debug collect
+        for node in ast.walk(fn):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"
+                and not chain_has_agg(node.func.value)
+            ):
+                offenders.append((fn.name, node.lineno))
+    assert not offenders, f"non-aggregate collect in feeder round path: {offenders}"

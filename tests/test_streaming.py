@@ -796,3 +796,28 @@ def test_stream_crawl_job_robots_parity(spark, tmp_path):
     assert [(m["round"], m["fetched"], m["blocked"]) for m in res["rounds"]] == [
         (m["round"], m["fetched"], m["blocked"]) for m in oracle.metrics
     ]
+
+
+@pytest.mark.spark
+def test_host_rank_col_parity(spark):
+    """The feeder's JVM host-rank expression (md5 split into two
+    32-bit halves folded mod 1000) must agree with the Python kernel
+    ``fixtures.host_rank`` byte-for-byte — it orders parents for the
+    distributed child numbering, so any divergence silently reorders
+    the crawl."""
+    from pyspark.sql import functions as F
+
+    from mhtml_to_html_spark.frontier.fixtures import host_rank
+    from mhtml_to_html_spark.streaming.feeder import host_rank_col
+
+    hosts = (
+        [f"host{i}.example.com" for i in range(50)]
+        + ["127.0.0.1:8080", "a.b.c.d.example.net", "xn--bcher-kva.example", "x"]
+    )
+    got = {
+        r["h"]: r["rank"]
+        for r in spark.createDataFrame([(h,) for h in hosts], "h string")
+        .select("h", host_rank_col(F.col("h")).alias("rank"))
+        .collect()
+    }
+    assert got == {h: host_rank(h) for h in hosts}
