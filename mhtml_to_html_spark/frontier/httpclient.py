@@ -35,33 +35,114 @@ from .fixtures import (
 )
 
 DEFAULT_TIMEOUT_S = 10.0
+MAX_REDIRECTS = 20  # the WHATWG fetch() cap the reference inherits
+_REDIRECT_CODES = frozenset({301, 302, 303, 307, 308})
 
 
-def fetch_once(url: str, timeout: float = DEFAULT_TIMEOUT_S) -> dict:
+def _decode_body(body: bytes, content_encoding: str | None) -> bytes:
+    """Transparent ``Content-Encoding`` handling — the reference's
+    ``fetch()`` decompresses before the caller ever sees bytes
+    (lib/convert.js:175-185). gzip and deflate (zlib-wrapped or the
+    raw stream some servers send) cover what we advertise in
+    Accept-Encoding; an undecodable body raises so the retry loop
+    records the attempt as a connection-level failure rather than
+    handing corrupt bytes to the MIME splitter."""
+    import gzip
+    import zlib
+
+    enc = (content_encoding or "").strip().lower()
+    if enc in ("", "identity"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        return gzip.decompress(body)
+    if enc == "deflate":
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            return zlib.decompress(body, -zlib.MAX_WBITS)
+    raise ValueError(f"unsupported Content-Encoding: {content_encoding}")
+
+
+def fetch_once(
+    url: str, timeout: float = DEFAULT_TIMEOUT_S, max_redirects: int = MAX_REDIRECTS
+) -> dict:
     """One real request → the fetch-double outcome dict shape:
-    ``{status, retry_after, content_type, body}``; connection errors
-    and timeouts map to ``status=-1`` (the double's thrown marker)."""
+    ``{status, retry_after, content_type, body, url}`` (``url`` is the
+    post-redirect final URL); connection errors, timeouts, redirect
+    loops past the cap, and undecodable bodies map to ``status=-1``
+    (the double's thrown marker — the same class of outcome the
+    reference's ``fetch()`` rejects with).
+
+    Redirects are followed EXPLICITLY (301/302/303/307/308 with a
+    Location header, relative Locations resolved against the current
+    URL, capped at ``max_redirects`` like fetch()'s redirect:'follow')
+    rather than through urllib's implicit handler, so the cap and the
+    hop semantics are ours to test. Bodies are requested with
+    ``Accept-Encoding: gzip, deflate`` and decompressed here."""
     import urllib.error
+    import urllib.parse
     import urllib.request
 
-    req = urllib.request.Request(url, headers={"User-Agent": "mhtml-to-html-spark"})
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            return None  # surface 3xx as HTTPError; the loop below hops
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    current = url
+    for _hop in range(max_redirects + 1):
+        req = urllib.request.Request(
+            current,
+            headers={
+                "User-Agent": "mhtml-to-html-spark",
+                "Accept-Encoding": "gzip, deflate",
+            },
+        )
+        try:
+            with opener.open(req, timeout=timeout) as resp:
+                status, headers = resp.status, resp.headers
+                raw = resp.read()
+        except urllib.error.HTTPError as e:
+            status, headers = e.code, e.headers
+            raw = b""
+        except Exception:
             return {
-                "status": resp.status,
-                "retry_after": resp.headers.get("Retry-After"),
-                "content_type": resp.headers.get("Content-Type"),
-                "body": resp.read(),
+                "status": -1, "retry_after": None, "content_type": None,
+                "body": b"", "url": current,
             }
-    except urllib.error.HTTPError as e:
+        if status in _REDIRECT_CODES:
+            location = headers.get("Location") if headers else None
+            if not location:
+                # a redirect with nowhere to go is a hard failure
+                return {
+                    "status": status, "retry_after": None, "content_type": None,
+                    "body": b"", "url": current,
+                }
+            current = urllib.parse.urljoin(current, location)
+            continue
+        if status == 200:
+            try:
+                body = _decode_body(raw, headers.get("Content-Encoding"))
+            except Exception:
+                return {
+                    "status": -1, "retry_after": None, "content_type": None,
+                    "body": b"", "url": current,
+                }
+            return {
+                "status": 200,
+                "retry_after": headers.get("Retry-After"),
+                "content_type": headers.get("Content-Type"),
+                "body": body,
+                "url": current,
+            }
         return {
-            "status": e.code,
-            "retry_after": e.headers.get("Retry-After") if e.headers else None,
+            "status": status,
+            "retry_after": headers.get("Retry-After") if headers else None,
             "content_type": None,
             "body": b"",
+            "url": current,
         }
-    except Exception:
-        return {"status": -1, "retry_after": None, "content_type": None, "body": b""}
+    # redirect chain exceeded the cap — fetch() rejects here too
+    return {"status": -1, "retry_after": None, "content_type": None, "body": b"", "url": current}
 
 
 def fetch_url_with_retries(

@@ -52,6 +52,52 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(429)
             self.send_header("Retry-After", "99")
             self.end_headers()
+        elif self.path == "/redir/a":  # 301 → 302 chain to real bytes
+            self.send_response(301)
+            self.send_header("Location", "/redir/b")
+            self.end_headers()
+        elif self.path == "/redir/b":
+            self.send_response(302)
+            self.send_header("Location", "/ok/redirfinal")
+            self.end_headers()
+        elif self.path == "/redir/relative":  # relative Location
+            self.send_response(301)
+            # RFC 3986: resolved against the DIRECTORY of the current
+            # path, so "../ok/rel" from /redir/relative → /ok/rel
+            self.send_header("Location", "../ok/rel")
+            self.end_headers()
+        elif self.path == "/redir/loop":  # self-redirect forever
+            self.send_response(302)
+            self.send_header("Location", "/redir/loop")
+            self.end_headers()
+        elif self.path == "/redir/noloc":  # 301 with nowhere to go
+            self.send_response(301)
+            self.end_headers()
+        elif self.path.startswith("/gzipped"):
+            import gzip as _gzip
+
+            payload = _gzip.compress(ARCHIVE)
+            self.send_response(200)
+            self.send_header("Content-Type", "multipart/related")
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+        elif self.path.startswith("/deflated"):
+            import zlib as _zlib
+
+            payload = _zlib.compress(b"deflated body")
+            self.send_response(200)
+            self.send_header("Content-Encoding", "deflate")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+        elif self.path.startswith("/corruptgz"):  # lies about encoding
+            self.send_response(200)
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Length", "9")
+            self.end_headers()
+            self.wfile.write(b"not gzip!")
         else:  # hard 404 — non-transient
             self.send_response(404)
             self.end_headers()
@@ -312,3 +358,66 @@ def test_stream_crawl_job_real_site(spark, tmp_path):
         assert all(e["status"] == "ok" for e in order)
     finally:
         srv.shutdown()
+
+
+def test_redirect_chain_followed_to_real_bytes(server):
+    """301 → 302 → 200: the client hops explicitly (reference fetch()
+    redirect:'follow' semantics) and reports the FINAL url + body."""
+    out = fetch_once(f"{server}/redir/a")
+    assert out["status"] == 200
+    assert out["body"] == ARCHIVE
+    assert out["url"].endswith("/ok/redirfinal")
+
+
+def test_redirect_relative_location_resolved(server):
+    out = fetch_once(f"{server}/redir/relative")
+    assert out["status"] == 200
+    assert out["url"].endswith("/ok/rel")
+
+
+def test_redirect_loop_capped(server):
+    """A self-redirect must stop at the fetch() cap and come back as
+    the thrown marker (-1), which the retry loop treats as transient
+    and ultimately fails — never an infinite hop chain."""
+    out = fetch_once(f"{server}/redir/loop", max_redirects=5)
+    assert out["status"] == -1
+    assert _Handler.hits["/redir/loop"] == 6  # initial + 5 hops
+
+    sleeps = []
+    status, attempts, _d, _ct, body = fetch_url_with_retries(
+        f"{server}/redir/loop", sleep=sleeps.append
+    )
+    assert (status, body) == ("failed", b"") and attempts == 3
+
+
+def test_redirect_without_location_fails_hard(server):
+    out = fetch_once(f"{server}/redir/noloc")
+    assert out["status"] == 301 and out["body"] == b""
+    status, attempts, _d, _ct, _b = fetch_url_with_retries(f"{server}/redir/noloc")
+    assert (status, attempts) == ("failed", 1)  # non-transient: no retry
+
+
+def test_gzip_body_transparently_decompressed(server):
+    out = fetch_once(f"{server}/gzipped/1")
+    assert out["status"] == 200
+    assert out["body"] == ARCHIVE  # decompressed, byte-exact
+    status, _a, _d, ct, body = fetch_url_with_retries(f"{server}/gzipped/2")
+    assert (status, ct, body) == ("ok", "multipart/related", ARCHIVE)
+
+
+def test_deflate_body_transparently_decompressed(server):
+    out = fetch_once(f"{server}/deflated/1")
+    assert (out["status"], out["body"]) == (200, b"deflated body")
+
+
+def test_corrupt_encoding_is_connection_class_failure(server):
+    """A body that cannot be decoded per its declared encoding maps to
+    the thrown marker: retried as transient, never handed to the MIME
+    splitter as corrupt bytes."""
+    out = fetch_once(f"{server}/corruptgz/1")
+    assert out["status"] == -1
+    sleeps = []
+    status, attempts, _d, _ct, body = fetch_url_with_retries(
+        f"{server}/corruptgz/2", sleep=sleeps.append
+    )
+    assert (status, body) == ("failed", b"") and attempts == 3
