@@ -487,6 +487,13 @@ def crawl_spark(
     empty_debt = spark.createDataFrame([], "host string, debt long")
     debt_df = empty_debt
     seenset_df = spark.createDataFrame([], _SHARD_BLOB_SCHEMA)
+    # seen keys fetched since the last blob merge (lazy union of
+    # checkpointed per-round outputs): the hybrid filter is an
+    # ACCELERATOR that only pays for itself once the probe actually
+    # runs (seen_total >= probe_threshold), so folding every round's
+    # adds into the shard blobs before that point is a pure
+    # shuffle+checkpoint tax — one cogroup per round for nothing
+    seen_pending = None
     seenset_loaded = False
     if resume and catalog is not None and catalog.latest() is not None:
         manifest = catalog.latest()
@@ -598,6 +605,15 @@ def crawl_spark(
                 removed_h64 = seen.join(
                     revisits.select("key"), "key", "left_semi"
                 ).select("h64")
+                if seen_pending is not None:
+                    # fold deferred adds first so the removal sees
+                    # every key (stays lazy — the checkpoint below
+                    # materializes merge+remove in one pass)
+                    seenset_df = seenset_merge(
+                        seenset_df, seen_pending, seen_shards,
+                        seen_bloom_bits, seen_cuckoo_buckets,
+                    )
+                    seen_pending = None
                 seenset_df = seenset_remove(
                     seenset_df, removed_h64, seen_shards
                 ).localCheckpoint(eager=True)
@@ -918,10 +934,24 @@ def crawl_spark(
         seen_adds = fetched.select("h64")
         if use_robots and n_blocked:
             seen_adds = seen_adds.unionByName(newly_blocked.select("h64"))
-        seenset_df = seenset_merge(
-            seenset_df, seen_adds, seen_shards, seen_bloom_bits, seen_cuckoo_buckets
-        ).localCheckpoint(eager=True)
+        seen_pending = (
+            seen_adds
+            if seen_pending is None
+            else seen_pending.unionByName(seen_adds)
+        )
         seen_total += n_fetched + n_blocked
+        if seen_total >= probe_threshold or catalog is not None:
+            # the next round WILL probe (or a snapshot must carry a
+            # consistent filter): fold everything pending in ONE
+            # cogroup pass and cut lineage. Below the threshold the
+            # pending union just rides along — the probe gate at step
+            # 3 shares this exact seen_total condition, so a probe can
+            # never observe an unfolded filter
+            seenset_df = seenset_merge(
+                seenset_df, seen_pending, seen_shards, seen_bloom_bits,
+                seen_cuckoo_buckets,
+            ).localCheckpoint(eager=True)
+            seen_pending = None
         have_seen = True
 
         round_order = fetched.select(
