@@ -868,9 +868,18 @@ def crawl_spark(
         n_fetch_parts = min(
             n_par * 8, max(n_par, -(-n_fetchable // fetch_rows_per_task))
         )
+        # Distribution WITHIN the stage: range-stripe on the global
+        # fetch position instead of hashing the key. Hash placement is
+        # binomial — at ~100 rows/task the row count swings ±10% and
+        # the slowest task sets the stage tail (~5s of the 32-core
+        # wall at 36k URLs, while 8-core runs amortize it over 4x the
+        # waves). Contiguous pos ranges give every task the same row
+        # count to ±1; per-row costs (attempts, decode) are
+        # uncorrelated with pos, so task times concentrate. The
+        # sampling pass reads the already-checkpointed manifest.
         fetched = (
             manifest_df.select("key", "host", "depth", "disc_seq", "pos")
-            .repartition(n_fetch_parts, "key")
+            .repartitionByRange(n_fetch_parts, "pos")
             .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
         fetched = fetched.localCheckpoint(eager=True)
