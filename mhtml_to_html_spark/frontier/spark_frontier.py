@@ -883,6 +883,18 @@ def crawl_spark(
             .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
         fetched = fetched.localCheckpoint(eager=True)
+        if n_fetch_parts > n_par:
+            # The fine wave partitioning exists for the fetch stage
+            # only; the ~dozen downstream jobs that re-read the slim
+            # checkpoint each round (children explode, seen update,
+            # metrics agg, ...) would inherit all n_fetch_parts
+            # partitions and pay a fixed per-task cost apiece — at 4N
+            # width that overhead is WIDTH-INDEPENDENT (~same seconds
+            # at 8 and 32 cores), which is exactly what caps scaling
+            # efficiency. coalesce is narrow (no shuffle, no extra
+            # stage): each downstream task just reads several
+            # checkpoint blocks.
+            fetched = fetched.coalesce(n_par)
         _t2 = _time.perf_counter()
 
         # 8. link discovery from ok fetches; disc_seq continues the

@@ -24,7 +24,7 @@ crawl's own pattern, ``spark_frontier.py`` steps 6-8):
   by definition and one window task is cheaper — same total order
   either way, both paths pinned against the oracle);
 - all frontier/sink writes are plain distributed parquet writes
-  (no ``coalesce(1)`` single-task funnels).
+  (no single-task write funnels).
 ``tests/test_plans.py::test_feeder_round_path_never_collects`` gates
 the no-collect property; ``stream_crawl_order`` below is the one
 sanctioned collect (a test/debug helper, not the job path).
