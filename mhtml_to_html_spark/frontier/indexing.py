@@ -63,9 +63,13 @@ def assign_global_index(
     )
     # localCheckpoint pins partition boundaries: the counts job and the
     # final projection must see the SAME range partitioning (range
-    # boundary sampling is not otherwise guaranteed stable across jobs)
+    # boundary sampling is not otherwise guaranteed stable across jobs).
+    # Lazy: the counts job right below is the first materialization and
+    # persists the blocks — eager would spend a whole extra job per
+    # call on a loop-iterated path (driver job latency is the
+    # width-independent term that caps scaling efficiency)
     indexed = parted.mapInPandas(_local_index_batches, schema=out_schema).localCheckpoint(
-        eager=True
+        eager=False
     )
     counts = sorted(
         (r["_pid"], r["n"])

@@ -775,7 +775,9 @@ def crawl_spark(
                 F.coalesce(F.col("debt"), F.lit(0)), budget_col
             )
         budgeted = budgeted.withColumn("token_budget", budget_col)
-        budgeted = budgeted.localCheckpoint(eager=True)
+        # lazy: the bcounts agg right below materializes (and persists)
+        # it in the same job; fetch_now/deferred then read the blocks
+        budgeted = budgeted.localCheckpoint(eager=False)
         _t1 = _time.perf_counter()
         # one agg answers both "is the frontier drained?" and the
         # deferred count (two separate driver jobs otherwise)
@@ -968,10 +970,13 @@ def crawl_spark(
             # pending union just rides along — the probe gate at step
             # 3 shares this exact seen_total condition, so a probe can
             # never observe an unfolded filter
+            # lazy: the next round's probe (or the snapshot write) is
+            # the first consumer and materializes the fold then; an
+            # eager job here would serialize every shard blob twice
             seenset_df = seenset_merge(
                 seenset_df, seen_pending, seen_shards, seen_bloom_bits,
                 seen_cuckoo_buckets,
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             seen_pending = None
         have_seen = True
 
