@@ -1069,6 +1069,144 @@ def _mhtml_headers_values() -> str:
     ) + " ORDER BY archive_id, header"
 
 
+def _nested_corpus() -> list[bytes]:
+    """Embedded-MHTML fixtures (P9): multipart/alternative parts whose
+    bodies are themselves archives, re-parsed into the same registry
+    with unconditional index replacement (reference parse.js:171,
+    338-348). Variants: replacement after/before an outer document,
+    index CLEARED by a document-less embed then reclaimed, double
+    nesting, and a nest truncated mid-headers (recovery path)."""
+    out_b, in_b, deep_b = "----=_O", "----=_I", "----=_J"
+
+    def part(location, ctype, body, b=out_b):
+        return (
+            f"--{b}\r\nContent-Type: {ctype}\r\n"
+            "Content-Transfer-Encoding: 8bit\r\n"
+            f"Content-Location: {location}\r\n\r\n{body}"
+        )
+
+    def container(inner_parts, b=out_b, inner=in_b, closed=True):
+        body = "\r\n".join([*inner_parts, f"--{inner}--"] if closed else inner_parts)
+        return f"--{b}\r\nContent-Type: multipart/alternative; boundary=\"{inner}\"\r\n\r\n{body}"
+
+    def archive(parts, b=out_b):
+        return (
+            "\r\n".join(
+                [
+                    "MIME-Version: 1.0",
+                    f'Content-Type: multipart/related; boundary="{b}"',
+                    "",
+                    *parts,
+                    f"--{b}--",
+                    "",
+                ]
+            )
+        ).encode("utf-8")
+
+    inner_doc = part("https://e/inner.htm", "text/html", "<p>inner</p>", b=in_b)
+    inner_txt = part("https://e/x.txt", "text/plain", "T", b=in_b)
+    outer_doc = part("https://e/outer.htm", "text/html", "<p>outer</p>")
+    return [
+        # embedded index REPLACES the outer document's claim
+        archive([outer_doc, container([inner_doc, inner_txt])]),
+        # document-less embed clears the index; a later outer doc claims
+        archive([container([inner_txt]), outer_doc]),
+        # embed first, outer doc after: outer doc must NOT reclaim
+        archive([container([inner_doc]), outer_doc]),
+        # double nesting: the inner archive itself embeds an archive
+        archive(
+            [
+                outer_doc,
+                container(
+                    [
+                        inner_txt,
+                        container(
+                            [part("https://e/deep.htm", "text/html", "<p>deep</p>", b=deep_b)],
+                            b=in_b,
+                            inner=deep_b,
+                        ),
+                    ]
+                ),
+            ]
+        ),
+        # nest truncated right after the inner part's headers
+        archive(
+            [
+                outer_doc,
+                container(
+                    [f"--{in_b}\r\nContent-Type: text/html\r\nContent-Location: https://e/cut.htm\r\n"],
+                    closed=False,
+                ),
+            ]
+        ),
+    ]
+
+
+def q_mhtml_nested(spark, sf_dir):
+    """Embedded-MHTML recursion (P9) over the nested fixture corpus:
+    one row per part with the container flag and the archive's final
+    index choice; oracle = pure-Python replay of the same parser."""
+    from mhtml_to_html_spark.operators.split import split_archives
+
+    from pyspark.sql import Row
+
+    archives = [
+        Row(archive_id=f"nest_{i}", content=bytearray(raw))
+        for i, raw in enumerate(_nested_corpus())
+    ]
+    return (
+        split_archives(spark.createDataFrame(archives))
+        .select(
+            "archive_id",
+            F.col("seq").cast("long").alias("seq"),
+            "part_id",
+            "content_type",
+            "is_embedded_container",
+            F.length("data").cast("long").alias("data_len"),
+            F.sha2(F.col("data"), 256).alias("data_sha256"),
+            "is_index",
+            "index_id",
+        )
+        .orderBy("archive_id", "seq")
+    )
+
+
+def _mhtml_nested_values() -> str:
+    from mhtml_to_html_spark.mime import parse_mhtml
+
+    rows = []
+    for i, raw in enumerate(_nested_corpus()):
+        result = parse_mhtml(raw)
+        for p in result.parts:
+            rows.append(
+                {
+                    "archive_id": f"nest_{i}",
+                    "seq": p.seq,
+                    "part_id": p.part_id,
+                    "content_type": p.content_type,
+                    "is_embedded_container": p.is_embedded_container,
+                    "data_len": len(p.data),
+                    "data_sha256": hashlib.sha256(p.data).hexdigest(),
+                    "is_index": p.part_id == result.index and p.is_index,
+                    "index_id": result.index,
+                }
+            )
+    return _values_oracle(
+        rows,
+        {
+            "archive_id": "VARCHAR",
+            "seq": "BIGINT",
+            "part_id": "VARCHAR",
+            "content_type": "VARCHAR",
+            "is_embedded_container": "BOOLEAN",
+            "data_len": "BIGINT",
+            "data_sha256": "VARCHAR",
+            "is_index": "BOOLEAN",
+            "index_id": "VARCHAR",
+        },
+    ) + " ORDER BY archive_id, seq"
+
+
 def _phash_corpus_rows():
     """20 seeded images + their lossy twins: deliberate near-dup
     structure with deterministic phashes."""
@@ -2340,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhtml_anomalies": q_mhtml_anomalies,
         "mhtml_pages": q_mhtml_pages,
         "mhtml_headers": q_mhtml_headers,
+        "mhtml_nested": q_mhtml_nested,
         "image_phash_neardup": q_image_phash_neardup,
         "image_dedup_clusters": q_image_dedup_clusters,
         "frontier_crawl": q_frontier_crawl,
@@ -2805,6 +2944,7 @@ WHERE {_cosine_expr('a.embedding', 'bb.embedding')} >= 0.42
 ORDER BY vec_a, vec_b""",
         "mhtml_parts": _mhtml_parts_values(),
         "mhtml_headers": _mhtml_headers_values(),
+        "mhtml_nested": _mhtml_nested_values(),
         "mhtml_registry": _mhtml_registry_values(),
         "mhtml_index": _mhtml_index_values(),
         "mhtml_golden": _values_oracle(
