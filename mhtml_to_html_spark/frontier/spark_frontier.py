@@ -697,9 +697,10 @@ def crawl_spark(
             # robots-on overhead. The union chain stays shallow
             # (one checkpointed piece per round) and snapshots flatten
             # it when checkpointing is on.
+            # lazy checkpoint: the count right below materializes it
             fetched_rules = new_hosts.mapInPandas(
                 _robots_batches, schema="host string, disallow string, crawl_delay_level int"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             n_new_hosts = fetched_rules.count()
             if n_new_hosts:
                 robots_cache = robots_cache.unionByName(fetched_rules)
@@ -710,14 +711,18 @@ def crawl_spark(
             if not robots_large and n_robots_hosts > robots_broadcast_threshold:
                 robots_large = True
             robots_side = robots_cache if robots_large else F.broadcast(robots_cache)
-            with_rules = candidates.join(robots_side, "host", "left")
             path = F.regexp_replace(F.col("key"), "^[a-zA-Z]+://[^/]+", "")
             allowed = F.col("disallow").isNull() | ~path.startswith(F.col("disallow"))
-            with_rules = with_rules.withColumn("allowed", allowed).localCheckpoint(eager=True)
-            newly_blocked = with_rules.filter(~F.col("allowed")).select("key", "h64")
-            n_blocked = newly_blocked.count()
-            blocked = blocked.unionByName(newly_blocked)
-            candidates = with_rules.filter(F.col("allowed")).drop("allowed", "disallow")
+            # the allowed/blocked classification RIDES the round's one
+            # politeness materialization (step 5's budgeted checkpoint
+            # + bcounts agg) instead of paying its own checkpoint and
+            # count jobs per round — the robots-on overhead was
+            # dominated by those extra driver jobs, not by the join
+            candidates = (
+                candidates.join(robots_side, "host", "left")
+                .withColumn("allowed", allowed)
+                .drop("disallow")
+            )
 
         # 4. priority queue: salted range partitioning + secondary sort
         #    (the physical order); politeness + positions derive from
@@ -760,7 +765,11 @@ def crawl_spark(
             else:
                 debt_side = F.broadcast(debt_df)
             prioritized = prioritized.join(debt_side, "host", "left")
-        w_host = Window.partitionBy("host").orderBy("depth", "host_rank", "disc_seq")
+        # blocked rows (allowed=false) ride the same exchange but rank
+        # in their own window partition, so they never consume budget
+        w_host = (
+            Window.partitionBy("host", "allowed") if use_robots else Window.partitionBy("host")
+        ).orderBy("depth", "host_rank", "disc_seq")
         budgeted = prioritized.withColumn("host_pos", F.row_number().over(w_host))
         if use_robots:
             # token-bucket crawl delay: the robots crawl-delay level
@@ -779,18 +788,28 @@ def crawl_spark(
         # it in the same job; fetch_now/deferred then read the blocks
         budgeted = budgeted.localCheckpoint(eager=False)
         _t1 = _time.perf_counter()
-        # one agg answers both "is the frontier drained?" and the
-        # deferred count (two separate driver jobs otherwise)
+        # ONE agg answers "is the frontier drained?", the deferred
+        # count, the debt-host count AND (robots) the blocked count —
+        # separate driver jobs otherwise
+        allowed_col = F.col("allowed") if use_robots else F.lit(True)
+        ok_rows = allowed_col
         bcounts = budgeted.agg(
-            F.count("*").alias("n"),
+            F.sum(ok_rows.cast("long")).alias("n"),
             F.sum(
-                (F.col("host_pos") <= F.col("token_budget")).cast("long")
+                (ok_rows & (F.col("host_pos") <= F.col("token_budget"))).cast("long")
             ).alias("fetchable"),
             F.count_distinct(
-                F.when(F.col("host_pos") > F.col("token_budget"), F.col("host"))
+                F.when(
+                    ok_rows & (F.col("host_pos") > F.col("token_budget")), F.col("host")
+                )
             ).alias("debt_hosts"),
+            F.sum((~ok_rows).cast("long")).alias("blocked"),
         ).collect()[0]
         n_debt_hosts = int(bcounts["debt_hosts"] or 0)
+        n_blocked = int(bcounts["blocked"] or 0)
+        if use_robots and n_blocked:
+            newly_blocked = budgeted.filter(~F.col("allowed")).select("key", "h64")
+            blocked = blocked.unionByName(newly_blocked)
         if int(bcounts["n"] or 0) == 0:
             # zero-fetch round (every frontier row deduped away): no
             # metrics row, same as the oracle — the next iteration
@@ -805,16 +824,16 @@ def crawl_spark(
             # (computed after the zero-candidate exit so the control
             # flow matches the oracle's `if not candidates: continue`)
             debt_df = (
-                budgeted.filter(F.col("host_pos") > F.col("token_budget"))
+                budgeted.filter(ok_rows & (F.col("host_pos") > F.col("token_budget")))
                 .groupBy("host")
                 .agg(F.count("*").alias("debt"))
                 .localCheckpoint(eager=True)
             )
         n_deferred = int(bcounts["n"]) - int(bcounts["fetchable"] or 0)
-        fetch_now = budgeted.filter(F.col("host_pos") <= F.col("token_budget"))
-        deferred = budgeted.filter(F.col("host_pos") > F.col("token_budget")).select(
-            "url", "depth", "disc_seq"
-        )
+        fetch_now = budgeted.filter(ok_rows & (F.col("host_pos") <= F.col("token_budget")))
+        deferred = budgeted.filter(
+            ok_rows & (F.col("host_pos") > F.col("token_budget"))
+        ).select("url", "depth", "disc_seq")
 
         # 6. global fetch position (ordering contract). Above the same
         #    adaptive threshold as step 4, a distributed two-pass index
