@@ -66,7 +66,6 @@ _FETCH_SCHEMA = (
     "attempts int, delay_ms long, h64 long, children array<string>"
 )
 _SEEN_SCHEMA = "key string, h64 long, host string, fetched_round int"
-_CHILD_SCHEMA = "parent_pos long, child_idx int, url string, depth int"
 _SHARD_BLOB_SCHEMA = "shard int, bloom binary, cuckoo binary"
 
 
@@ -307,13 +306,16 @@ def _fetch_batches(
     fetcher: str = "double",
     http_timeout: float = 10.0,
     discover: str = "scripted",
+    fanout: int = 3,
+    n_hosts: int = 7,
 ):
     import functools as _ft
     import time as _t
 
     import pandas as pd
 
-    from .fixtures import fetch_with_retries
+    from ..urlnorm import is_fetchable
+    from .fixtures import children_of, fetch_with_retries
     from .seenset import url_hash64
 
     if fetcher == "http":
@@ -361,6 +363,14 @@ def _fetch_batches(
                 # real-crawl discovery: links come from the fetched
                 # bytes, not the scripted children_of world
                 children = extract_links(body)
+            elif discover == "scripted" and status == "ok":
+                # scripted discovery rides the same fetch pass (one
+                # Python stage per round instead of two); eligibility
+                # filtering here preserves document order, which is
+                # all the (parent_pos, child_idx) contract needs
+                children = [
+                    c for c in children_of(key, fanout, n_hosts) if is_fetchable(c)
+                ]
             rows.append(
                 {
                     "key": key,
@@ -373,7 +383,7 @@ def _fetch_batches(
                     "delay_ms": delay_ms,
                     # signed two's-complement so the value fits LongType
                     "h64": h64 - (1 << 64) if h64 >= 1 << 63 else h64,
-                    "children": children if discover == "parse" else [],
+                    "children": children,
                 }
             )
         yield pd.DataFrame(
@@ -383,28 +393,6 @@ def _fetch_batches(
                 "delay_ms", "h64", "children",
             ],
         )
-
-
-def _children_batches(batches, fanout: int = 3, n_hosts: int = 7):
-    import pandas as pd
-
-    from ..urlnorm import is_fetchable
-    from .fixtures import children_of
-
-    for pdf in batches:
-        rows = []
-        for pos, key, depth in zip(pdf["pos"], pdf["key"], pdf["depth"]):
-            for j, child in enumerate(children_of(key, fanout, n_hosts)):
-                if is_fetchable(child):
-                    rows.append(
-                        {
-                            "parent_pos": int(pos),
-                            "child_idx": j,
-                            "url": child,
-                            "depth": int(depth) + 1,
-                        }
-                    )
-        yield pd.DataFrame(rows, columns=["parent_pos", "child_idx", "url", "depth"])
 
 
 @dataclass
@@ -869,6 +857,8 @@ def crawl_spark(
             fetcher=fetcher,
             http_timeout=http_timeout,
             discover=discover,
+            fanout=fanout,
+            n_hosts=n_hosts,
         )
         # Fetch partitioning is ADAPTIVE to the round's manifest size.
         # Two opposing costs: the straggler tail of the stage is
@@ -903,7 +893,12 @@ def crawl_spark(
             .repartitionByRange(n_fetch_parts, "pos")
             .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
-        fetched = fetched.localCheckpoint(eager=True)
+        # lazy: the stats agg below is the first action over the
+        # fetched rows — it materializes the checkpoint in the SAME
+        # job it runs in (an eager checkpoint would be a whole extra
+        # driver job per round; job latency is width-independent, so
+        # saved jobs raise N-vs-4N efficiency directly)
+        fetched = fetched.localCheckpoint(eager=False)
         if n_fetch_parts > n_par:
             # The fine wave partitioning exists for the fetch stage
             # only; the ~dozen downstream jobs that re-read the slim
@@ -916,29 +911,39 @@ def crawl_spark(
             # stage): each downstream task just reads several
             # checkpoint blocks.
             fetched = fetched.coalesce(n_par)
+
+        # 8. round metrics: this agg is the ACTION that materializes
+        #    the lazy fetch checkpoint — fetch stage + counter fold run
+        #    as one driver job, and n_children rides along so the
+        #    window-path discovery below never pays its own count job
+        stats = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+            F.sum("attempts").alias("attempts"),
+            F.sum("delay_ms").alias("delay_ms"),
+            F.sum(F.size("children")).alias("n_children"),
+        ).collect()[0]
+        n_fetched = int(stats["n"] or 0)
+        n_ok = int(stats["ok"] or 0)
         _t2 = _time.perf_counter()
 
-        # 8. link discovery from ok fetches; disc_seq continues the
+        # 9. link discovery from ok fetches; disc_seq continues the
         #    global counter in (parent_pos, child_idx) order — same
         #    distributed index assignment (fanout×fetched rows is the
-        #    bigger of the two per-round orderings)
+        #    bigger of the two per-round orderings). Children — parsed
+        #    from the fetched bodies or scripted, both already
+        #    eligibility-filtered in document order — are emitted by
+        #    the fetch UDF itself: one JVM-side posexplode, never a
+        #    second Python pass over the round.
         ok = fetched.filter(F.col("status") == "ok")
-        if discover == "parse":
-            # children parsed from the fetched bodies inside the fetch
-            # UDF (already eligibility-filtered, document order): one
-            # JVM-side posexplode, no second Python pass
-            children = ok.select("pos", "depth", F.posexplode("children").alias("child_idx", "url")).select(
-                F.col("pos").alias("parent_pos"),
-                F.col("child_idx").cast("int").alias("child_idx"),
-                "url",
-                (F.col("depth") + 1).cast("int").alias("depth"),
-            )
-        else:
-            children_fn = functools.partial(_children_batches, fanout=fanout, n_hosts=n_hosts)
-            children = ok.select("pos", "key", "depth").mapInPandas(
-                children_fn, schema=_CHILD_SCHEMA
-            )
-        n_discovered = None
+        children = ok.select(
+            "pos", "depth", F.posexplode("children").alias("child_idx", "url")
+        ).select(
+            F.col("pos").alias("parent_pos"),
+            F.col("child_idx").cast("int").alias("child_idx"),
+            "url",
+            (F.col("depth") + 1).cast("int").alias("depth"),
+        )
         if use_dist_index:
             discovered, n_discovered = assign_global_index(
                 children,
@@ -955,24 +960,20 @@ def crawl_spark(
                 "disc_seq",
                 (F.row_number().over(w_child) - 1 + F.lit(disc_total)).cast("long"),
             ).select("url", "depth", "disc_seq")
+            # the window path's discovery count comes from the stats
+            # agg (sum of children sizes) — the exact posexplode row
+            # count, no dedicated count job
+            n_discovered = int(stats["n_children"] or 0)
 
-        # 9. state updates — all distributed: metrics via one agg, the
-        #    hybrid seen-set via a per-shard cogroup fold (one task per
-        #    shard, work = blob + its adds); no per-row collect anywhere
+        # 10. state updates — all distributed: the hybrid seen-set via
+        #    a per-shard cogroup fold (one task per shard, work = blob
+        #    + its adds); no per-row collect anywhere
         new_seen = ok.select(
             "key", "h64", "host", F.lit(round_idx).cast("int").alias("fetched_round")
         )
         new_failed = fetched.filter(F.col("status") != "ok").select("key", "h64")
         seen = seen.unionByName(new_seen)
         failed = failed.unionByName(new_failed)
-        stats = fetched.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-            F.sum("attempts").alias("attempts"),
-            F.sum("delay_ms").alias("delay_ms"),
-        ).collect()[0]
-        n_fetched = int(stats["n"] or 0)
-        n_ok = int(stats["ok"] or 0)
         seen_adds = fetched.select("h64")
         if use_robots and n_blocked:
             seen_adds = seen_adds.unionByName(newly_blocked.select("h64"))
@@ -1009,8 +1010,6 @@ def crawl_spark(
         )
         order_acc = order_acc.unionByName(round_order)
 
-        if n_discovered is None:
-            n_discovered = discovered.count()
         disc_total += n_discovered
         expected_frontier = n_deferred + n_discovered
         round_metrics = {
@@ -1034,7 +1033,7 @@ def crawl_spark(
 
         frontier = deferred.unionByName(discovered)
 
-        # 10. checkpoint: snapshot cuts lineage AND makes the crawl
+        # 11. checkpoint: snapshot cuts lineage AND makes the crawl
         #     resumable with per-partition manifest lineage; the hybrid
         #     seen-set rides along as ordinary binary rows (one per
         #     shard), so resume never rebuilds it. Without a catalog,

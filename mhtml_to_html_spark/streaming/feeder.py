@@ -83,8 +83,9 @@ def _scripted_children_batches(batches, fanout: int, n_hosts: int):
     """Children of ok fetches in the scripted world, tagged with the
     parent's fetch-order key (depth, host_rank, disc_seq) + document
     position — the total order the distributed indexer numbers.
-    Mirrors the batch crawl's ``_children_batches``
-    (spark_frontier.py:388): unfetchable children are dropped BEFORE
+    Mirrors the batch crawl's scripted-discovery contract (the fetch
+    UDF in spark_frontier.py emits eligibility-filtered children in
+    document order): unfetchable children are dropped BEFORE
     numbering, exactly the oracle's disc counter semantics."""
     import pandas as pd
 
