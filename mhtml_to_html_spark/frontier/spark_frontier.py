@@ -531,6 +531,24 @@ def crawl_spark(
         robots_cache = empty_robots
         blocked = empty_keys
 
+    # the politeness backlog (deferred rows) is carried CANONICALIZED
+    # between rounds: a row that cleared admission once (canon + dedup
+    # + seen prune + robots) never re-pays it. At 10^10-URL scale a
+    # throttled host's whole queue would otherwise recycle through the
+    # canonicalize UDF, the dedup shuffle, the filter probe and the
+    # rules join on EVERY round — O(backlog × rounds) admission work
+    # for rows whose verdict cannot change (deferred keys cannot enter
+    # seen/failed/blocked while they wait, and robots rules per host
+    # are immutable once cached).
+    pend_cols = ["url", "depth", "disc_seq", "key", "host", "host_rank", "h64"]
+    if use_robots:
+        pend_cols.append("crawl_delay_level")
+    empty_pending = spark.createDataFrame(
+        [], _CANON_SCHEMA + (", crawl_delay_level int" if use_robots else "")
+    )
+    pending = empty_pending
+    n_pending = 0
+
     have_seen = start_round > 0
     if have_seen and not seenset_loaded:
         # pre-seenset checkpoint: rebuild the hybrid distributed from
@@ -620,7 +638,9 @@ def crawl_spark(
         if expected_frontier == 0:
             break
 
-        # 1. canonicalize + host metadata (one vectorized UDF pass)
+        # 1. canonicalize + host metadata (one vectorized UDF pass) —
+        #    over the FRESH rows only (seeds/discoveries/recrawls); the
+        #    deferred backlog is already canonical and rejoins at step 4
         canon = frontier.mapInPandas(_canonicalize_batches, schema=_CANON_SCHEMA)
 
         # 2. within-round first-discovery dedup: deterministic min_by on
@@ -661,6 +681,12 @@ def crawl_spark(
                 candidates = deduped.join(seen_all.select("key"), "key", "left_anti")
         else:
             candidates = deduped
+        if n_pending:
+            # first-discovery vs the backlog is ONE anti-join: a
+            # pending row's disc_seq is strictly smaller than any
+            # fresh discovery's (the counter is monotone), so the
+            # pending row always wins
+            candidates = candidates.join(pending.select("key"), "key", "left_anti")
 
         # 3b. robots gate: the cache table grows by the round's newly
         #     met hosts ('fetched' via the deterministic double), then a
@@ -710,6 +736,13 @@ def crawl_spark(
                 candidates.join(robots_side, "host", "left")
                 .withColumn("allowed", allowed)
                 .drop("disallow")
+            )
+        if n_pending:
+            # the backlog rejoins here, past the admission stages it
+            # already cleared (allowed by construction; its immutable
+            # crawl_delay_level rode along when it was deferred)
+            candidates = candidates.unionByName(
+                pending.withColumn("allowed", F.lit(True)) if use_robots else pending
             )
 
         # 4. priority queue: salted range partitioning + secondary sort
@@ -821,7 +854,7 @@ def crawl_spark(
         fetch_now = budgeted.filter(ok_rows & (F.col("host_pos") <= F.col("token_budget")))
         deferred = budgeted.filter(
             ok_rows & (F.col("host_pos") > F.col("token_budget"))
-        ).select("url", "depth", "disc_seq")
+        ).select(*pend_cols)
 
         # 6. global fetch position (ordering contract). Above the same
         #    adaptive threshold as step 4, a distributed two-pass index
@@ -1031,7 +1064,11 @@ def crawl_spark(
                 flush=True,
             )
 
-        frontier = deferred.unionByName(discovered)
+        # fresh rows next round = discoveries only; the deferred
+        # backlog stays canonical in `pending`
+        frontier = discovered
+        pending = deferred
+        n_pending = n_deferred
 
         # 11. checkpoint: snapshot cuts lineage AND makes the crawl
         #     resumable with per-partition manifest lineage; the hybrid
@@ -1041,7 +1078,13 @@ def crawl_spark(
         #     round's lineage stays one round deep.
         if catalog is not None:
             tables = {
-                "frontier": frontier,
+                # the snapshot keeps the original (url, depth,
+                # disc_seq) frontier contract: backlog rows are
+                # written uncanonical and re-canonicalize once on
+                # reload — deterministic, so resume stays byte-exact
+                "frontier": frontier.unionByName(
+                    pending.select("url", "depth", "disc_seq")
+                ),
                 "seen": seen,
                 "failed": failed,
                 "order": order_acc,
@@ -1064,6 +1107,8 @@ def crawl_spark(
             )
             result.snapshots.append(snap)
             frontier = catalog.load_table(spark, snap, "frontier")
+            pending = empty_pending
+            n_pending = 0
             seen = catalog.load_table(spark, snap, "seen")
             failed = catalog.load_table(spark, snap, "failed")
             order_acc = catalog.load_table(spark, snap, "order")
