@@ -1389,15 +1389,43 @@ def q_frontier_debt_crawl(spark, sf_dir):
 
 
 def _media_corpus_rows():
-    """Deterministic multimodal corpus: real WAV + Y4M + image bytes."""
+    """Deterministic multimodal corpus: real WAV + Y4M + image bytes,
+    plus compressed stills (PNG/GIF/baseline JPEG via the numpy codecs
+    in media/) and an animated GIF on the video path."""
     from mhtml_to_html_spark.images.synth import encode_image, synth_image
-    from mhtml_to_html_spark.media import encode_wav, encode_y4m, synth_audio, synth_video
+    from mhtml_to_html_spark.media import (
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+        encode_y4m,
+        synth_audio,
+        synth_video,
+    )
 
     rows = []
     for i in range(4):
         rows.append((f"aud_{i}", "audio", encode_wav(synth_audio(i, seconds=0.3 + i / 10), 8000)))
         rows.append((f"vid_{i}", "video", encode_y4m(synth_video(i, n_frames=3 + i), fps=25)))
         rows.append((f"img_{i}", "image", encode_image(synth_image(i, 20 + i, 12 + i), "bmp")))
+    for i in range(2):
+        rows.append(
+            (f"png_{i}", "image", encode_png(synth_image(40 + i, 18 + i, 11 + i), interlace=bool(i)))
+        )
+        rows.append(
+            (
+                f"jpg_{i}",
+                "image",
+                encode_jpeg(synth_image(50 + i, 24 + i, 14 + i), quality=80 + 15 * i, subsample=not i),
+            )
+        )
+        # quantize to 4 levels/channel (<= 64 colors) so the GIF
+        # encoder's single global palette always fits
+        pal_frames = [
+            (synth_image(60 + i + k, 12, 10) // 64 * 64) for k in range(2 + i)
+        ]
+        rows.append((f"gifv_{i}", "video", encode_gif(pal_frames, delays_ms=[30 * (k + 1) for k in range(2 + i)])))
+        rows.append((f"gif_{i}", "image", encode_gif([pal_frames[0]], interlace=bool(i))))
     return rows
 
 
@@ -1469,17 +1497,25 @@ def _media_features_values() -> str:
     from mhtml_to_html_spark.media import decode_wav, decode_y4m
     from mhtml_to_html_spark.operators.multimodal import _decode_image
 
+    from mhtml_to_html_spark.media import decode_gif
+    from mhtml_to_html_spark.operators.multimodal import _to_rgb3
+
     rows = []
     for mid, kind, data in _media_corpus_rows():
         width = height = duration = None
         if kind == "image":
             px = _decode_image(data)
             height, width = px.shape[:2]
-            luma = px.astype(np.float64).mean(axis=2)
+            luma = _to_rgb3(px).astype(np.float64).mean(axis=2)
         elif kind == "audio":
             samples, rate = decode_wav(data)
             duration = int(len(samples) / rate * 1000)
             luma = np.abs(samples).astype(np.float64)
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            frames, delays = decode_gif(data)
+            height, width = frames[0].shape[:2]
+            duration = sum(d or 100 for d in delays)
+            luma = frames[0].astype(np.float64).mean(axis=2)
         else:
             frames, fps = decode_y4m(data)
             height, width = frames[0].shape[:2]
@@ -1508,6 +1544,114 @@ def _media_features_values() -> str:
             "height": "BIGINT",
             "duration_ms": "BIGINT",
             "mean_luma": "DOUBLE",
+        },
+    ) + " ORDER BY media_id"
+
+
+def _image_codec_corpus_rows():
+    """One payload per codec variant the image axis must decode:
+    PNG gray/gray+alpha/RGB/RGBA, interlaced PNG, plain/interlaced/
+    animated GIF, JPEG 4:4:4 / 4:2:0 / grayscale / restart-interval,
+    plus the uncompressed PPM/BMP/raw controls."""
+    import numpy as np
+
+    from mhtml_to_html_spark.images.synth import encode_image, synth_image
+    from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
+
+    def chan(i, c, w=19, h=13):
+        rgb = synth_image(70 + i, w, h)
+        if c == 3:
+            return rgb
+        if c == 1:
+            return rgb[..., :1]
+        if c == 2:
+            return np.dstack([rgb[..., 0], rgb[..., 1]])
+        return np.dstack([rgb, rgb[..., :1]])
+
+    pal = synth_image(80, 14, 11) // 64 * 64
+    pal2 = synth_image(81, 14, 11) // 64 * 64
+    rows = [
+        ("png_gray", encode_png(chan(0, 1))),
+        ("png_ga", encode_png(chan(1, 2))),
+        ("png_rgb", encode_png(chan(2, 3))),
+        ("png_rgba", encode_png(chan(3, 4))),
+        ("png_rgb_adam7", encode_png(chan(4, 3), interlace=True)),
+        ("gif_plain", encode_gif([pal])),
+        ("gif_interlaced", encode_gif([pal], interlace=True)),
+        ("gif_animated", encode_gif([pal, pal2], delays_ms=[40, 60])),
+        ("jpg_444_q95", encode_jpeg(synth_image(82, 21, 17), quality=95, subsample=False)),
+        ("jpg_420_q80", encode_jpeg(synth_image(83, 22, 18), quality=80, subsample=True)),
+        ("jpg_gray", encode_jpeg(synth_image(84, 16, 12)[..., 0], quality=90)),
+        ("jpg_restart", encode_jpeg(synth_image(85, 32, 24), quality=85, restart_interval=2)),
+        ("ppm_control", encode_image(synth_image(86, 10, 8), "ppm")),
+        ("bmp_control", encode_image(synth_image(87, 10, 8), "bmp")),
+        ("raw_control", encode_image(synth_image(88, 10, 8), "raw")),
+    ]
+    return rows
+
+
+def q_image_codecs(spark, sf_dir):
+    """Pixel-exact decode audit for the compressed-image codecs
+    (media/png.py, gif.py, jpeg.py): sha256 over the decoded
+    RGB-normalized buffer means a green row pins EVERY pixel of every
+    format variant against the single-process replay."""
+    from mhtml_to_html_spark.operators.multimodal import decode_images
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(data)) for mid, data in _image_codec_corpus_rows()],
+        "media_id string, bytes binary",
+    )
+    return (
+        decode_images(media)
+        .select(
+            "media_id",
+            "fmt",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_channels").cast("long").alias("n_channels"),
+            F.round("mean_luma", 6).alias("mean_luma"),
+            "decoded_sha256",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _image_codecs_values() -> str:
+    import hashlib as _hl
+
+    import numpy as np
+
+    from mhtml_to_html_spark.operators.multimodal import (
+        _decode_image,
+        _to_rgb3,
+        sniff_format,
+    )
+
+    rows = []
+    for mid, data in _image_codec_corpus_rows():
+        px = _decode_image(data)
+        rgb = _to_rgb3(px)
+        rows.append(
+            {
+                "media_id": mid,
+                "fmt": sniff_format(data),
+                "width": rgb.shape[1],
+                "height": rgb.shape[0],
+                "n_channels": px.shape[2],
+                "mean_luma": round(float(rgb.astype(np.float64).mean()), 6),
+                "decoded_sha256": _hl.sha256(rgb.tobytes()).hexdigest(),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "fmt": "VARCHAR",
+            "width": "BIGINT",
+            "height": "BIGINT",
+            "n_channels": "BIGINT",
+            "mean_luma": "DOUBLE",
+            "decoded_sha256": "VARCHAR",
         },
     ) + " ORDER BY media_id"
 
@@ -2487,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_debt_crawl": q_frontier_debt_crawl,
         "frontier_stream": q_frontier_stream,
         "media_features": q_media_features,
+        "image_codecs": q_image_codecs,
         "stream_windowed": q_stream_windowed,
         # rotated in: driver-unchecked in r2-r4 (judge-replayed only)
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
@@ -2979,6 +3124,7 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         # the streaming gate must reproduce the SAME ordering oracle
         "frontier_stream": _frontier_values(),
         "media_features": _media_features_values(),
+        "image_codecs": _image_codecs_values(),
         "stream_windowed": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

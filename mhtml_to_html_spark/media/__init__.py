@@ -6,3 +6,6 @@ from .codecs import (  # noqa: F401
     synth_audio,
     synth_video,
 )
+from .gif import decode_gif, encode_gif  # noqa: F401
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
+from .png import decode_png, encode_png  # noqa: F401

@@ -42,6 +42,20 @@ def _decode_batches(batches):
                     pixels, fmt = decode_ppm(data), ("lossy" if ext == "lossy" else "ppm")
                 elif data[:2] == b"BM":
                     pixels, fmt = decode_bmp(data), "bmp"
+                elif data[:8] == b"\x89PNG\r\n\x1a\n":
+                    from ..media.png import decode_png
+                    from ..operators.multimodal import _to_rgb3
+
+                    pixels, fmt = _to_rgb3(decode_png(data)), "png"
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    from ..media.gif import decode_gif
+
+                    pixels, fmt = decode_gif(data)[0][0], "gif"
+                elif data[:2] == b"\xff\xd8":
+                    from ..media.jpeg import decode_jpeg
+                    from ..operators.multimodal import _to_rgb3
+
+                    pixels, fmt = _to_rgb3(decode_jpeg(data)), "jpeg"
                 else:
                     import struct
 

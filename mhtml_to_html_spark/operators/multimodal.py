@@ -4,16 +4,19 @@ The Spark-side plumbing is real — schemas, Arrow batch shapes, the
 mapInPandas signatures a 100 TB media pipeline needs — and so are the
 codecs for the self-contained formats:
 
-- images decode for real (PPM/BMP/raw via images/synth.py);
+- images decode for real: PPM/BMP/raw (images/synth.py) plus PNG
+  (all color types, Adam7), GIF (LZW, palettes, animation), and
+  baseline JPEG (media/png.py, gif.py, jpeg.py — stdlib zlib + numpy,
+  no Pillow);
 - audio decodes for real when the payload is RIFF/PCM16 WAV
   (media/codecs.py, numpy-only);
 - video decodes for real when the payload is YUV4MPEG2 C444
-  (media/codecs.py — ffmpeg's own uncompressed interchange format);
-- compressed containers (mp3/aac/mp4/h264...) need ffmpeg, which this
-  container does not ship: those payloads keep the clearly marked
-  deterministic fake keyed on the content hash (or raise
-  NotImplementedError when ``strict=True``) — the seam is the format
-  sniff, nothing else changes when real codecs appear.
+  (media/codecs.py) or an animated GIF (frame delays -> timestamps);
+- the remaining compressed containers (mp3/aac/mp4/h264...) need
+  ffmpeg, which this container does not ship: those payloads keep the
+  clearly marked deterministic fake keyed on the content hash (or
+  raise NotImplementedError when ``strict=True``) — the seam is the
+  format sniff, nothing else changes when real codecs appear.
 
 Media table schema: (media_id string, kind string, bytes binary,
 meta map<string,string>).
@@ -72,8 +75,23 @@ def _decode_video_frames(data: bytes, n_frames: int, strict: bool):
         for out_idx, src_idx in enumerate(picks):
             yield out_idx, src_idx * frame_ms, frames[src_idx]
         return
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..media.gif import decode_gif
+
+        frames, delays = decode_gif(data)
+        # frame k starts after the delays of frames 0..k-1 (GIF delay
+        # is post-display hold); zero-delay GIFs tick at the de-facto
+        # browser default of 100 ms
+        starts = [0]
+        for d in delays[:-1]:
+            starts.append(starts[-1] + (d or 100))
+        n = min(n_frames, len(frames))
+        picks = [(i * len(frames)) // n for i in range(n)]
+        for out_idx, src_idx in enumerate(picks):
+            yield out_idx, starts[src_idx], frames[src_idx]
+        return
     if strict:
-        raise NotImplementedError("non-Y4M video requires ffmpeg (not in container)")
+        raise NotImplementedError("non-Y4M/GIF video requires ffmpeg (not in container)")
     seed = int.from_bytes(hashlib.md5(data).digest()[:4], "big")
     for i in range(n_frames):
         rng = np.random.default_rng(seed + i)
@@ -87,12 +105,37 @@ def _decode_image(data: bytes):
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..media.png import decode_png
+
+        return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..media.gif import decode_gif
+
+        return decode_gif(data)[0][0]  # first frame as the still image
+    if data[:2] == b"\xff\xd8":
+        from ..media.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     import struct
 
     import numpy as np
 
     w, h = struct.unpack_from("<HH", data, 0)
     return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=4).reshape(h, w, 3).copy()
+
+
+def _to_rgb3(pixels):
+    """Normalize decoded pixels to (h, w, 3) for phash/resize: gray and
+    gray+alpha replicate the luma plane; RGBA drops alpha."""
+    import numpy as np
+
+    c = pixels.shape[2]
+    if c == 3:
+        return pixels
+    if c >= 3:
+        return pixels[..., :3]
+    return np.repeat(pixels[..., :1], 3, axis=2)
 
 
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
@@ -113,7 +156,7 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 if kind == "image":
                     pixels = _decode_image(data)
                     height, width, channels = pixels.shape
-                    luma = pixels.astype(np.float64).mean(axis=2)
+                    luma = _to_rgb3(pixels).astype(np.float64).mean(axis=2)
                 elif kind == "audio":
                     samples, rate = _decode_audio(data, strict)
                     duration = int(len(samples) / rate * 1000)
@@ -162,6 +205,11 @@ def _video_duration_ms(data: bytes) -> int | None:
 
         frames, fps = decode_y4m(data)
         return int(len(frames) * 1000 / fps)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..media.gif import decode_gif
+
+        _, delays = decode_gif(data)
+        return sum(d or 100 for d in delays)
     return None
 
 
@@ -174,6 +222,68 @@ def _grid16(luma):
         flat = np.pad(flat, (0, 16 - len(flat)))
     chunks = np.array_split(flat, 16)
     return [c.mean() if len(c) else 0.0 for c in chunks]
+
+
+DECODE_SCHEMA = (
+    "media_id string, fmt string, width int, height int, n_channels int, "
+    "mean_luma double, decoded_sha256 string"
+)
+
+_MAGIC_FMT = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"\xff\xd8", "jpeg"),
+    (b"P6", "ppm"),
+    (b"BM", "bmp"),
+)
+
+
+def sniff_format(data: bytes) -> str:
+    for magic, fmt in _MAGIC_FMT:
+        if data[: len(magic)] == magic:
+            return fmt
+    return "raw"
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Pixel-level decode audit: format sniff + decode + a sha256 over
+    the decoded RGB-normalized pixel buffer, so two engines agreeing on
+    this row agree on EVERY pixel. Arrow-batched mapInPandas; per-item
+    work, embarrassingly parallel — the 100 TB path partitions on input
+    splits and never shuffles."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(data)
+                pixels = _decode_image(data)
+                rgb = _to_rgb3(pixels)
+                h, w, _ = rgb.shape
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "fmt": sniff_format(data),
+                        "width": w,
+                        "height": h,
+                        "n_channels": pixels.shape[2],
+                        "mean_luma": float(rgb.astype(np.float64).mean()),
+                        "decoded_sha256": hashlib.sha256(rgb.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fmt", "width", "height", "n_channels",
+                    "mean_luma", "decoded_sha256",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 12) -> DataFrame:
@@ -189,7 +299,7 @@ def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 12) -> D
             for media_id, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
                 if kind != "image":
                     continue
-                pixels = _decode_image(bytes(data))
+                pixels = _to_rgb3(_decode_image(bytes(data)))
                 h, w = pixels.shape[:2]
                 ys = (np.arange(target_h) * h) // target_h
                 xs = (np.arange(target_w) * w) // target_w

@@ -80,3 +80,66 @@ def test_strict_mode_raises():
         _decode_audio(b"x", strict=True)
     with pytest.raises(NotImplementedError):
         list(_decode_video_frames(b"x", 1, strict=True))
+
+
+@pytest.mark.spark
+def test_compressed_image_formats_through_features(spark):
+    """PNG/GIF/JPEG media rows decode for real (strict mode: any stub
+    fallback would raise), with the decoded geometry surfaced."""
+    from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
+
+    rgb = synth_image(21, 20, 14)
+    rows = [
+        ("png", "image", bytearray(encode_png(rgb))),
+        ("png_i", "image", bytearray(encode_png(rgb, interlace=True))),
+        ("gif", "image", bytearray(encode_gif([rgb // 64 * 64]))),
+        ("jpg", "image", bytearray(encode_jpeg(rgb, quality=90))),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, kind string, bytes binary")
+    out = {r["media_id"]: r for r in extract_features(media, strict=True).collect()}
+    assert set(out) == {"png", "png_i", "gif", "jpg"}
+    for r in out.values():
+        assert (r["width"], r["height"], r["n_channels"]) == (20, 14, 3)
+    # PNG is lossless: luma matches the source exactly
+    want = rgb.astype(np.float64).mean()
+    assert abs(out["png"]["mean_luma"] - want) < 1e-9
+    assert abs(out["png_i"]["mean_luma"] - want) < 1e-9
+    # JPEG is lossy but close at q90
+    assert abs(out["jpg"]["mean_luma"] - want) < 3.0
+
+
+@pytest.mark.spark
+def test_animated_gif_is_a_video_source(spark):
+    """Animated GIFs ride the video path: frame sampling honours the
+    per-frame delays and duration is the delay sum."""
+    from mhtml_to_html_spark.media import encode_gif
+
+    frames = [synth_image(30 + k, 12, 10) // 64 * 64 for k in range(4)]
+    gif = encode_gif(frames, delays_ms=[40, 50, 60, 70])
+    media = spark.createDataFrame(
+        [("g", "video", bytearray(gif))], "media_id string, kind string, bytes binary"
+    )
+    feats = extract_features(media, strict=True).collect()[0]
+    assert feats["duration_ms"] == 40 + 50 + 60 + 70
+    assert (feats["width"], feats["height"]) == (12, 10)
+    sampled = sample_frames(media, 4, strict=True).collect()
+    assert [r["frame_idx"] for r in sampled] == [0, 1, 2, 3]
+    # frame k starts after the cumulative delays of earlier frames
+    assert [r["ts_ms"] for r in sampled] == [0, 40, 90, 150]
+    got = np.frombuffer(bytes(sampled[2]["bytes"]), dtype=np.uint8, offset=4).reshape(10, 12, 3)
+    assert (got == frames[2]).all()
+
+
+def test_to_rgb3_normalization():
+    from mhtml_to_html_spark.operators.multimodal import _decode_image, _to_rgb3
+    from mhtml_to_html_spark.media import encode_png
+
+    rgb = synth_image(33, 8, 6)
+    rgba = np.dstack([rgb, np.full((6, 8, 1), 77, np.uint8)])
+    out = _decode_image(encode_png(rgba))
+    assert out.shape == (6, 8, 4)
+    assert (_to_rgb3(out) == rgb).all()
+    gray = rgb[..., :1]
+    out = _decode_image(encode_png(gray))
+    assert out.shape == (6, 8, 1)
+    assert (_to_rgb3(out)[..., 2] == gray[..., 0]).all()
