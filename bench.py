@@ -120,6 +120,38 @@ def bench_mhtml_decode(spark, sf_dir):
     return images.filter("caption is not null").count()
 
 
+def _prepare_image_corpus(spark, path: str, n: int) -> None:
+    """Mixed PNG/JPEG/GIF payloads (the formats a crawl actually
+    yields), built executor-side from (index) only and parqueted once,
+    untimed — the bench unit then times pure read+decode."""
+
+    def build(batches):
+        import pandas as pd
+
+        from mhtml_to_html_spark.images.synth import synth_image
+        from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                img = synth_image(i, 64, 48)
+                k = i % 3
+                if k == 0:
+                    data = encode_png(img)
+                elif k == 1:
+                    data = encode_jpeg(img, quality=85)
+                else:
+                    data = encode_gif([img // 64 * 64])
+                rows.append({"media_id": f"m_{i}", "bytes": data})
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    idx = spark.range(0, n, 1, int(CPUS) * 2).withColumnRenamed("id", "i")
+    idx.mapInPandas(build, schema="media_id string, bytes binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def main():
     import __spark_entry__ as entrymod
 
@@ -218,6 +250,14 @@ def main():
             ),
         )
     )
+    from mhtml_to_html_spark.operators.multimodal import decode_images
+
+    img_dir = os.environ.get("SPARK_GRAFT_BENCH_IMG_DIR", "/tmp/bench_image_corpus")
+    n_bench_images = N_BENCH_ARCHIVES * 2
+    _prepare_image_corpus(spark, img_dir, n_bench_images)
+    units.append(
+        ("image_decode", lambda: _force(decode_images(spark.read.parquet(img_dir))))
+    )
     units.append(("mhtml_decode", lambda: bench_mhtml_decode(spark, SF_DIR)))
     units.append(("mhtml_pages", lambda: bench_mhtml_pages(spark)))
     units.append(("frontier_crawl", lambda: bench_frontier(spark)))
@@ -267,6 +307,12 @@ def main():
         "pages_per_sec": round(n_pages_ok / pages_sec, 1) if pages_sec else 0.0,
         "crawled_urls": n_crawled,
         "crawl_urls_per_sec": round(n_crawled / crawl_sec, 1) if crawl_sec else 0.0,
+        "decoded_compressed_images": n_bench_images,
+        "image_decode_per_sec": (
+            round(n_bench_images / timings["image_decode"], 1)
+            if timings["image_decode"]
+            else 0.0
+        ),
         "cpus": int(CPUS),
         "protocol": (
             f"steady-state ({warm_passes} untimed warm pass(es), "

@@ -150,87 +150,62 @@ def _canonical_codes(bits: list[int], values: list[int]):
     return out
 
 
-class _HuffDecoder:
-    """Canonical min/max-code-per-length decoder (T.81 F.2.2.3)."""
-
-    __slots__ = ("mincode", "maxcode", "valptr", "values")
-
-    def __init__(self, bits: list[int], values: list[int]):
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        self.values = values
-        code = 0
-        vi = 0
-        for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = vi
-                self.mincode[length] = code
-                code += bits[length - 1]
-                vi += bits[length - 1]
-                self.maxcode[length] = code - 1
-            code <<= 1
-
-    def decode(self, reader: "_ScanReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.read_bit()
-            if self.maxcode[length] >= code >= self.mincode[length]:
-                return self.values[self.valptr[length] + code - self.mincode[length]]
-        raise ValueError("invalid JPEG Huffman code")
+# LUT Huffman decode (the libjpeg technique): JPEG codes are at most
+# 16 bits, so a 2^16-entry table keyed by the next 16 bits of the
+# stream yields (value, code length) in one lookup. Tables are cached
+# per (bits, values) signature — in a corpus virtually every file
+# shares the Annex K tables, so the build cost amortizes to zero.
+_LUT_CACHE: dict[tuple, tuple[bytes, bytes]] = {}
 
 
-class _ScanReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; stops at any real marker (restart or terminating)."""
-
-    __slots__ = ("data", "pos", "acc", "bits", "marker")
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.bits = 0
-        self.marker: int | None = None
-
-    def read_bit(self) -> int:
-        if self.bits == 0:
-            if self.marker is not None:
-                raise ValueError("read past JPEG scan marker")
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG scan truncated")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    # a real marker: T.81 pads the final byte with 1-bits
-                    self.marker = nxt
-                    self.pos += 1
-                    byte = 0xFF
-            self.acc = byte
-            self.bits = 8
-        self.bits -= 1
-        return (self.acc >> self.bits) & 1
-
-    def receive(self, n: int) -> int:
-        val = 0
-        for _ in range(n):
-            val = (val << 1) | self.read_bit()
-        return val
-
-    def align_after_marker(self):
-        self.bits = 0
-        self.marker = None
+def _huff_lut(bits: list[int], values: list[int]) -> tuple[bytes, bytes]:
+    key = (tuple(bits), tuple(values))
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    val = bytearray(1 << 16)
+    length = bytearray(1 << 16)  # 0 = invalid prefix
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            start = code << (16 - ln)
+            span = 1 << (16 - ln)
+            val[start : start + span] = bytes([values[vi]]) * span
+            length[start : start + span] = bytes([ln]) * span
+            code += 1
+            vi += 1
+        code <<= 1
+    out = (bytes(val), bytes(length))
+    _LUT_CACHE[key] = out
+    return out
 
 
-def _extend(value: int, size: int) -> int:
-    """T.81 F.2.2.1 EXTEND: size-bit magnitude → signed value."""
-    if size == 0:
-        return 0
-    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+def _split_scan(data: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data starting at pos → restart segments with the
+    0xFF00 byte stuffing removed; stops at the first real marker."""
+    segments = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur += data[i:]
+            break
+        cur += data[i:j]
+        nxt = data[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:
+            break  # terminating marker (EOI or next segment)
+    segments.append(bytes(cur))
+    return segments
 
 
 # --- decoder ---------------------------------------------------------------------
@@ -242,7 +217,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], _HuffDecoder] = {}
+    htables: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     frame = None  # (h, w, components[(cid, hs, vs, tq)])
     restart_interval = 0
     while pos + 4 <= len(data):
@@ -276,7 +251,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
                 values = list(body[off + 17 : off + 17 + n])
-                htables[(tc, th)] = _HuffDecoder(bits, values)
+                htables[(tc, th)] = _huff_lut(bits, values)
                 off += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-decodable)
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -311,55 +286,112 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, restart_interv
         raise ValueError("sampling factors above 2x2 unsupported")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    reader = _ScanReader(data, pos)
 
-    planes = []
-    for cid, hs, vs, tq in comps:
-        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64))
-    preds = [0] * len(comps)
-    blocks_seen = 0
+    segments = _split_scan(data, pos)
+    n_comp = len(comps)
+    # per-component decode products: zigzag coefficient rows + block origins
+    zz_rows: list[list[list[int]]] = [[] for _ in comps]
+    origins: list[list[tuple[int, int]]] = [[] for _ in comps]
+    luts = [
+        (htables[(0, scan_tables[cid][0])], htables[(1, scan_tables[cid][1])])
+        for cid, _hs, _vs, _tq in comps
+    ]
+
+    def windows(seg: bytes) -> list[int]:
+        """48-bit big-endian window starting at every byte offset —
+        one numpy pass, then O(1) plain-int reads in the hot loop
+        (a 16-bit peek or a <=16-bit receive at bit offset p lives
+        entirely inside windows[p >> 3])."""
+        arr = np.frombuffer(seg + b"\x00" * 8, dtype=np.uint8).astype(np.uint64)
+        view = np.lib.stride_tricks.sliding_window_view(arr, 6)[: len(seg) + 3]
+        weights = (1 << (np.arange(5, -1, -1, dtype=np.uint64) * 8)).astype(np.uint64)
+        return (view * weights).sum(axis=1).tolist()
+
+    # hot loop: locals only, precomputed bit windows
+    seg_idx = 0
+    w48 = windows(segments[0])
+    nbits = len(segments[0]) * 8
+    bitpos = 0
+    preds = [0] * n_comp
+    mcu_in_seg = 0
 
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if restart_interval and blocks_seen == restart_interval:
-                # skip to the RSTn marker, reset predictors
-                while reader.marker is None:
-                    reader.read_bit()
-                if not (0xD0 <= reader.marker <= 0xD7):
-                    raise ValueError("expected JPEG restart marker")
-                reader.align_after_marker()
-                preds = [0] * len(comps)
-                blocks_seen = 0
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dc_dec = htables[(0, scan_tables[cid][0])]
-                ac_dec = htables[(1, scan_tables[cid][1])]
-                quant = qtables[tq]
+            if restart_interval and mcu_in_seg == restart_interval:
+                if bitpos > nbits:
+                    raise ValueError("JPEG restart segment overran")
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                w48 = windows(segments[seg_idx])
+                nbits = len(segments[seg_idx]) * 8
+                bitpos = 0
+                preds = [0] * n_comp
+                mcu_in_seg = 0
+            mcu_in_seg += 1
+            for ci in range(n_comp):
+                (dc_val, dc_len), (ac_val, ac_len) = luts[ci]
+                _cid, hs, vs, _tq = comps[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        coefs = np.zeros(64, dtype=np.int32)
-                        size = dc_dec.decode(reader)
-                        preds[ci] += _extend(reader.receive(size), size)
-                        coefs[0] = preds[ci]
+                        zz = [0] * 64
+                        v16 = (w48[bitpos >> 3] >> (32 - (bitpos & 7))) & 0xFFFF
+                        ln = dc_len[v16]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        size = dc_val[v16]
+                        bitpos += ln
+                        if size:
+                            mag = (
+                                w48[bitpos >> 3] >> (48 - (bitpos & 7) - size)
+                            ) & ((1 << size) - 1)
+                            bitpos += size
+                            preds[ci] += (
+                                mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+                            )
+                        zz[0] = preds[ci]
                         k = 1
                         while k < 64:
-                            rs = ac_dec.decode(reader)
-                            run, size = rs >> 4, rs & 0x0F
+                            v16 = (w48[bitpos >> 3] >> (32 - (bitpos & 7))) & 0xFFFF
+                            ln = ac_len[v16]
+                            if ln == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            rs = ac_val[v16]
+                            bitpos += ln
+                            size = rs & 0x0F
                             if size == 0:
-                                if run == 15:
+                                if rs == 0xF0:  # ZRL
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += run
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            coefs[k] = _extend(reader.receive(size), size)
+                            mag = (
+                                w48[bitpos >> 3] >> (48 - (bitpos & 7) - size)
+                            ) & ((1 << size) - 1)
+                            bitpos += size
+                            zz[k] = (
+                                mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+                            )
                             k += 1
-                        block = (coefs[_UNZIGZAG].reshape(8, 8) * quant).astype(np.float64)
-                        pixels = _A.T @ block @ _A + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pixels
-            blocks_seen += 1
+                        zz_rows[ci].append(zz)
+                        origins[ci].append(((my * vs + by) * 8, (mx * hs + bx) * 8))
+    if bitpos > nbits:
+        raise ValueError("JPEG scan truncated")
+
+    # batched dequantize + IDCT per component (one einsum instead of
+    # two 8x8 matmuls per block)
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        plane = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        coefs = np.asarray(zz_rows[ci], dtype=np.int64)[:, _UNZIGZAG].reshape(-1, 8, 8)
+        blocks = np.einsum(
+            "ij,njk,kl->nil", _A.T, coefs * qtables[tq][None, :, :], _A
+        ) + 128.0
+        for (y0, x0), block in zip(origins[ci], blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = block
+        planes.append(plane)
 
     # upsample to full resolution and crop
     full = []
