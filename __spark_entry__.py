@@ -1656,6 +1656,125 @@ def _image_codecs_values() -> str:
     ) + " ORDER BY media_id"
 
 
+def _image_quality_corpus_rows():
+    """One image per admission outcome: a keeper, then one payload per
+    reject reason (too_small, bad_aspect, low_entropy, blurry,
+    washed_out, monochrome, undecodable), mixed across codecs."""
+    import numpy as np
+
+    from mhtml_to_html_spark.images.synth import synth_image
+    from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
+
+    rng = np.random.default_rng(777)
+
+    def noise(h, w):
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = np.stack([xx * 255 // 63] * 3, axis=-1).astype(np.uint8)
+    over = noise(60, 60)
+    over[:39] = 255  # 65% near-white rows -> extreme_frac > 0.6
+    gray1 = rng.integers(0, 256, size=(64, 64, 1), dtype=np.uint8)
+    grayscale = np.repeat(gray1, 3, axis=2)
+    return [
+        ("good_noise", encode_jpeg(synth_image(90, 80, 70), quality=90)),
+        ("tiny", encode_png(noise(16, 20))),
+        ("banner", encode_png(noise(40, 200))),
+        ("flat", encode_gif([np.full((64, 64, 3), 137, np.uint8)])),
+        ("smooth_blur", encode_png(smooth)),
+        ("overexposed", encode_png(over)),
+        ("grayscale", encode_png(grayscale)),
+        ("corrupt", encode_png(noise(32, 32))[:40]),
+    ]
+
+
+_IMAGE_QUALITY_THRESHOLDS = dict(
+    min_side=32,
+    max_aspect=3.0,
+    min_entropy=3.0,
+    min_lap_var=25.0,
+    max_extreme_frac=0.6,
+    min_colorfulness=8.0,
+)
+
+
+def q_image_quality(spark, sf_dir):
+    """Pixel-level image curation (the LAION-style admission gate a
+    multimodal training pipeline runs after decode): entropy, blur
+    (Laplacian variance), colorfulness, exposure — exact-int signal
+    accumulation, first-failing reject_reason, undecodable payloads
+    rejected not fatal."""
+    from mhtml_to_html_spark.operators.multimodal import image_pixel_quality
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(data)) for mid, data in _image_quality_corpus_rows()],
+        "media_id string, bytes binary",
+    )
+    out = image_pixel_quality(media, **_IMAGE_QUALITY_THRESHOLDS)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("lap_var", 6).alias("lap_var"),
+        F.round("colorfulness", 6).alias("colorfulness"),
+        F.round("extreme_frac", 6).alias("extreme_frac"),
+        "keep",
+        "reject_reason",
+    ).orderBy("media_id")
+
+
+def _image_quality_values() -> str:
+    from mhtml_to_html_spark.operators.multimodal import (
+        _decode_image,
+        _to_rgb3,
+        pixel_quality_signals,
+        quality_reject_reason,
+    )
+
+    rows = []
+    for mid, data in _image_quality_corpus_rows():
+        try:
+            sig = pixel_quality_signals(_to_rgb3(_decode_image(data)))
+            reason = quality_reject_reason(sig, **_IMAGE_QUALITY_THRESHOLDS)
+        except (ValueError, IndexError):
+            sig = dict.fromkeys(
+                ("width", "height", "entropy", "lap_var", "colorfulness", "extreme_frac")
+            )
+            reason = "undecodable"
+        rows.append(
+            {
+                "media_id": mid,
+                "width": sig["width"],
+                "height": sig["height"],
+                "entropy": None if sig["entropy"] is None else round(sig["entropy"], 6),
+                "lap_var": None if sig["lap_var"] is None else round(sig["lap_var"], 6),
+                "colorfulness": None
+                if sig["colorfulness"] is None
+                else round(sig["colorfulness"], 6),
+                "extreme_frac": None
+                if sig["extreme_frac"] is None
+                else round(sig["extreme_frac"], 6),
+                "keep": reason is None,
+                "reject_reason": reason,
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "width": "BIGINT",
+            "height": "BIGINT",
+            "entropy": "DOUBLE",
+            "lap_var": "DOUBLE",
+            "colorfulness": "DOUBLE",
+            "extreme_frac": "DOUBLE",
+            "keep": "BOOLEAN",
+            "reject_reason": "VARCHAR",
+        },
+    ) + " ORDER BY media_id"
+
+
 def q_frontier_stream(spark, sf_dir):
     """The same crawl world through the STREAMING politeness gate
     (applyInPandasWithState, checkpointed state across query restarts,
@@ -2632,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_stream": q_frontier_stream,
         "media_features": q_media_features,
         "image_codecs": q_image_codecs,
+        "image_quality": q_image_quality,
         "stream_windowed": q_stream_windowed,
         # rotated in: driver-unchecked in r2-r4 (judge-replayed only)
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
@@ -3125,6 +3245,7 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "frontier_stream": _frontier_values(),
         "media_features": _media_features_values(),
         "image_codecs": _image_codecs_values(),
+        "image_quality": _image_quality_values(),
         "stream_windowed": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

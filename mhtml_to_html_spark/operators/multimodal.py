@@ -25,6 +25,7 @@ meta map<string,string>).
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 from pyspark.sql import DataFrame
 
@@ -284,6 +285,150 @@ def decode_images(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+QUALITY_SCHEMA = (
+    "media_id string, width long, height long, entropy double, "
+    "lap_var double, colorfulness double, extreme_frac double, "
+    "keep boolean, reject_reason string"
+)
+
+
+def pixel_quality_signals(rgb) -> dict:
+    """Pixel-level curation signals over an (h, w, 3) uint8 array.
+
+    All accumulations are exact int64 sums (bincount / Laplacian /
+    channel moments), divided once at the end — bit-identical between
+    the Spark UDF and the single-process oracle replay by construction.
+
+    - entropy: Shannon entropy (bits) of the integer luma (r+g+b)
+      histogram — low on flat/posterized images;
+    - lap_var: variance of the 4-neighbour Laplacian of the luma
+      (the standard blur detector — near zero on smooth gradients);
+    - colorfulness: Hasler–Süsstrunk metric from the rg/yb opponent
+      channels — near zero on grayscale;
+    - extreme_frac: fraction of pixels with near-black or near-white
+      luma (over/under-exposure).
+    """
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    n = h * w
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    luma = r + g + b  # 0..765, exact
+
+    hist = np.bincount(luma.ravel(), minlength=766)
+    p = hist[hist > 0] / float(n)
+    # `or 0.0` normalizes the single-bin -0.0 (which engines hash
+    # differently from +0.0)
+    entropy = float(-(p * np.log2(p)).sum()) or 0.0
+
+    if h >= 3 and w >= 3:
+        core = luma[1:-1, 1:-1]
+        lap = 4 * core - luma[:-2, 1:-1] - luma[2:, 1:-1] - luma[1:-1, :-2] - luma[1:-1, 2:]
+        m = lap.size
+        s1 = int(lap.sum())
+        s2 = int((lap * lap).sum())
+        lap_var = (s2 - s1 * s1 / m) / m
+    else:
+        lap_var = 0.0
+
+    rg = r - g
+    yb2 = r + g - 2 * b  # 2x the standard yb channel, exact
+    mean_rg = int(rg.sum()) / n
+    mean_yb = int(yb2.sum()) / (2 * n)
+    var_rg = int((rg * rg).sum()) / n - mean_rg * mean_rg
+    var_yb = int((yb2 * yb2).sum()) / (4 * n) - mean_yb * mean_yb
+    colorfulness = float(
+        np.sqrt(max(var_rg + var_yb, 0.0)) + 0.3 * np.sqrt(mean_rg**2 + mean_yb**2)
+    )
+
+    extreme = int(((luma <= 45) | (luma >= 720)).sum())
+
+    return {
+        "width": w,
+        "height": h,
+        "entropy": entropy,
+        "lap_var": float(lap_var),
+        "colorfulness": colorfulness,
+        "extreme_frac": extreme / n,
+    }
+
+
+def quality_reject_reason(
+    sig: dict,
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    min_entropy: float = 3.0,
+    min_lap_var: float = 25.0,
+    max_extreme_frac: float = 0.6,
+    min_colorfulness: float = 8.0,
+) -> str | None:
+    """First-failing admission rule over :func:`pixel_quality_signals`
+    output, in a fixed documented order (mirrors caption_pair_filter):
+    too_small, bad_aspect, low_entropy, blurry, washed_out,
+    monochrome."""
+    w, h = sig["width"], sig["height"]
+    if min(w, h) < min_side:
+        return "too_small"
+    if max(w, h) / min(w, h) > max_aspect:
+        return "bad_aspect"
+    if sig["entropy"] < min_entropy:
+        return "low_entropy"
+    if sig["lap_var"] < min_lap_var:
+        return "blurry"
+    if sig["extreme_frac"] > max_extreme_frac:
+        return "washed_out"
+    if sig["colorfulness"] < min_colorfulness:
+        return "monochrome"
+    return None
+
+
+def image_pixel_quality(media: DataFrame, **thresholds) -> DataFrame:
+    """LAION-style pixel-level admission over decoded images:
+    (media_id, width, height, entropy, lap_var, colorfulness,
+    extreme_frac, keep, reject_reason).
+
+    The metadata-level rules live in curation.caption_pair_filter (pure
+    JVM expressions); these signals need the pixels, so they ride the
+    decode mapInPandas — map-only, no shuffle, exact-int accumulation
+    (see pixel_quality_signals). Undecodable payloads are rejected with
+    reason 'undecodable' rather than failing the batch."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["bytes"]):
+                try:
+                    rgb = _to_rgb3(_decode_image(bytes(data)))
+                    sig = pixel_quality_signals(rgb)
+                    reason = quality_reject_reason(sig, **thresholds)
+                except (ValueError, IndexError, struct_error):
+                    sig = dict.fromkeys(
+                        ("width", "height", "entropy", "lap_var", "colorfulness", "extreme_frac")
+                    )
+                    reason = "undecodable"
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        **sig,
+                        "keep": reason is None,
+                        "reject_reason": reason,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "entropy", "lap_var",
+                    "colorfulness", "extreme_frac", "keep", "reject_reason",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=QUALITY_SCHEMA)
 
 
 def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 12) -> DataFrame:

@@ -143,3 +143,35 @@ def test_to_rgb3_normalization():
     out = _decode_image(encode_png(gray))
     assert out.shape == (6, 8, 1)
     assert (_to_rgb3(out)[..., 2] == gray[..., 0]).all()
+
+
+@pytest.mark.spark
+def test_image_pixel_quality_reasons(spark):
+    """Each curation signal gates its intended payload; undecodable
+    bytes reject the row instead of failing the batch."""
+    import __spark_entry__ as entry
+    from mhtml_to_html_spark.operators.multimodal import image_pixel_quality
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(d)) for mid, d in entry._image_quality_corpus_rows()],
+        "media_id string, bytes binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in image_pixel_quality(media, **entry._IMAGE_QUALITY_THRESHOLDS).collect()
+    }
+    want = {
+        "good_noise": None,
+        "tiny": "too_small",
+        "banner": "bad_aspect",
+        "flat": "low_entropy",
+        "smooth_blur": "blurry",
+        "overexposed": "washed_out",
+        "grayscale": "monochrome",
+        "corrupt": "undecodable",
+    }
+    for mid, reason in want.items():
+        assert out[mid]["reject_reason"] == reason, mid
+        assert out[mid]["keep"] is (reason is None)
+    assert out["corrupt"]["width"] is None
+    assert out["flat"]["entropy"] == 0.0  # not -0.0
