@@ -1775,6 +1775,121 @@ def _image_quality_values() -> str:
     ) + " ORDER BY media_id"
 
 
+def _image_exif_corpus_rows():
+    """The same base image under every TIFF orientation code (1-8,
+    little-endian APP1), one big-endian tagged payload, one EXIF-less
+    control — displayed-pixel hashes prove parse + normalization."""
+    from mhtml_to_html_spark.images.synth import synth_image
+    from mhtml_to_html_spark.media import encode_jpeg
+    from mhtml_to_html_spark.media.exif import build_exif_app1
+
+    base = synth_image(95, 24, 16)
+    rows = []
+    for o in range(1, 9):
+        rows.append(
+            (f"orient_{o}", encode_jpeg(base, quality=92, app1=build_exif_app1(orientation=o)))
+        )
+    rows.append(
+        (
+            "tagged_mm",
+            encode_jpeg(
+                base,
+                quality=92,
+                app1=build_exif_app1(
+                    orientation=6,
+                    make="ACME",
+                    model="Cam 9000",
+                    datetime="2024:01:02 03:04:05",
+                    little_endian=False,
+                ),
+            ),
+        )
+    )
+    rows.append(("no_exif", encode_jpeg(base, quality=92)))
+    return rows
+
+
+def q_image_exif(spark, sf_dir):
+    """EXIF parse + orientation normalization: rotated duplicates of
+    the same photo must agree on the DISPLAYED pixel hash dimensions —
+    the precondition for phash dedup over real camera uploads."""
+    from mhtml_to_html_spark.media.exif import parse_exif
+    from mhtml_to_html_spark.operators.multimodal import decode_images
+
+    rows = _image_exif_corpus_rows()
+    media = spark.createDataFrame(
+        [(mid, bytearray(data)) for mid, data in rows],
+        "media_id string, bytes binary",
+    )
+    exif_rows = [(mid, parse_exif(data)) for mid, data in rows]
+    meta = spark.createDataFrame(
+        [
+            (
+                mid,
+                int(e.get("orientation", 1)),
+                e.get("make"),
+                e.get("model"),
+                e.get("datetime"),
+            )
+            for mid, e in exif_rows
+        ],
+        "media_id string, orientation long, make string, model string, datetime string",
+    )
+    oriented = decode_images(media, orient=True).select(
+        "media_id",
+        F.col("width").cast("long").alias("disp_width"),
+        F.col("height").cast("long").alias("disp_height"),
+        F.col("decoded_sha256").alias("disp_sha256"),
+    )
+    return (
+        meta.join(F.broadcast(oriented), "media_id", "inner")
+        .select(
+            "media_id", "orientation", "make", "model", "datetime",
+            "disp_width", "disp_height", "disp_sha256",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _image_exif_values() -> str:
+    import hashlib as _hl
+
+    import numpy as np
+
+    from mhtml_to_html_spark.media.exif import apply_orientation, parse_exif
+    from mhtml_to_html_spark.operators.multimodal import _decode_image, _to_rgb3
+
+    rows = []
+    for mid, data in _image_exif_corpus_rows():
+        e = parse_exif(data)
+        px = apply_orientation(_to_rgb3(_decode_image(data)), e.get("orientation", 1))
+        rows.append(
+            {
+                "media_id": mid,
+                "orientation": int(e.get("orientation", 1)),
+                "make": e.get("make"),
+                "model": e.get("model"),
+                "datetime": e.get("datetime"),
+                "disp_width": px.shape[1],
+                "disp_height": px.shape[0],
+                "disp_sha256": _hl.sha256(np.ascontiguousarray(px).tobytes()).hexdigest(),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "orientation": "BIGINT",
+            "make": "VARCHAR",
+            "model": "VARCHAR",
+            "datetime": "VARCHAR",
+            "disp_width": "BIGINT",
+            "disp_height": "BIGINT",
+            "disp_sha256": "VARCHAR",
+        },
+    ) + " ORDER BY media_id"
+
+
 def q_frontier_stream(spark, sf_dir):
     """The same crawl world through the STREAMING politeness gate
     (applyInPandasWithState, checkpointed state across query restarts,
@@ -2752,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "image_codecs": q_image_codecs,
         "image_quality": q_image_quality,
+        "image_exif": q_image_exif,
         "stream_windowed": q_stream_windowed,
         # rotated in: driver-unchecked in r2-r4 (judge-replayed only)
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
@@ -3246,6 +3362,7 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "media_features": _media_features_values(),
         "image_codecs": _image_codecs_values(),
         "image_quality": _image_quality_values(),
+        "image_exif": _image_exif_values(),
         "stream_windowed": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

@@ -521,6 +521,7 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = True,
     restart_interval: int = 0,
+    app1: bytes | None = None,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w)/(h, w, 1) gray uint8 → baseline JFIF bytes.
 
@@ -598,6 +599,8 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if app1 is not None:
+        out += app1  # a complete APP1 segment (e.g. exif.build_exif_app1)
     out += seg(0xDB, b"\x00" + ql.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
     if not gray:
         out += seg(0xDB, b"\x01" + qc.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())

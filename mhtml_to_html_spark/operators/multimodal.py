@@ -247,12 +247,14 @@ def sniff_format(data: bytes) -> str:
     return "raw"
 
 
-def decode_images(media: DataFrame) -> DataFrame:
+def decode_images(media: DataFrame, orient: bool = False) -> DataFrame:
     """Pixel-level decode audit: format sniff + decode + a sha256 over
     the decoded RGB-normalized pixel buffer, so two engines agreeing on
-    this row agree on EVERY pixel. Arrow-batched mapInPandas; per-item
-    work, embarrassingly parallel — the 100 TB path partitions on input
-    splits and never shuffles."""
+    this row agree on EVERY pixel. With ``orient=True``, JPEG pixels
+    are EXIF-orientation-normalized first (the displayed image — what
+    phash dedup must hash, or rotated duplicates never collide).
+    Arrow-batched mapInPandas; per-item work, embarrassingly parallel —
+    the 100 TB path partitions on input splits and never shuffles."""
 
     def run(batches):
         import numpy as np
@@ -263,6 +265,12 @@ def decode_images(media: DataFrame) -> DataFrame:
             for media_id, data in zip(pdf["media_id"], pdf["bytes"]):
                 data = bytes(data)
                 pixels = _decode_image(data)
+                if orient and data[:2] == b"\xff\xd8":
+                    from ..media.exif import apply_orientation, parse_exif
+
+                    pixels = apply_orientation(
+                        pixels, parse_exif(data).get("orientation", 1)
+                    )
                 rgb = _to_rgb3(pixels)
                 h, w, _ = rgb.shape
                 rows.append(
