@@ -1890,6 +1890,119 @@ def _image_exif_values() -> str:
     ) + " ORDER BY media_id"
 
 
+def _phash_dct_corpus_rows():
+    """Base images plus the perturbations a crawl dedup actually
+    meets: JPEG recompression, brightness shift, and an EXIF-rotated
+    re-encode of the SAME photo — each must land within a small
+    hamming radius of its base under the DCT hash."""
+    import numpy as np
+
+    from mhtml_to_html_spark.images.synth import synth_image
+    from mhtml_to_html_spark.media import decode_jpeg, encode_jpeg, encode_png
+    from mhtml_to_html_spark.media.exif import apply_orientation, build_exif_app1
+
+    rows = []
+    for i in range(3):
+        base = synth_image(120 + i, 64, 48)
+        rows.append((f"b{i}", f"b{i}", encode_png(base)))
+        rows.append((f"b{i}__jpeg70", f"b{i}", encode_jpeg(base, quality=70)))
+        bright = np.clip(base.astype(np.int64) + 20, 0, 255).astype(np.uint8)
+        rows.append((f"b{i}__bright", f"b{i}", encode_png(bright)))
+        # store the photo rotated 90 CW, tagged to rotate back (code 8)
+        stored = base.transpose(1, 0, 2)[:, ::-1]
+        rows.append(
+            (
+                f"b{i}__rot",
+                f"b{i}",
+                encode_jpeg(stored, quality=95, app1=build_exif_app1(orientation=8)),
+            )
+        )
+    return rows
+
+
+def q_image_phash_dct(spark, sf_dir):
+    """DCT perceptual hash near-dup audit: per-variant hamming distance
+    to its base for BOTH hashes, computed JVM-side (xor + bit_count on
+    the join output — the same expression the banded near-dup verifier
+    runs at scale). The broadcast self-join keeps the base table on
+    every executor; at 100 TB the equi-join key (base_id) shuffles
+    hash-partitioned instead."""
+    from mhtml_to_html_spark.operators.multimodal import image_hashes
+
+    rows = _phash_dct_corpus_rows()
+    media = spark.createDataFrame(
+        [(mid, bytearray(data)) for mid, _base, data in rows],
+        "media_id string, bytes binary",
+    )
+    pairs = spark.createDataFrame(
+        [(mid, base) for mid, base, _ in rows], "media_id string, base_id string"
+    )
+    hashes = image_hashes(media, orient=True)
+    base_hashes = hashes.select(
+        F.col("media_id").alias("base_id"),
+        F.col("phash_avg").alias("base_avg"),
+        F.col("phash_dct").alias("base_dct"),
+    )
+    return (
+        hashes.join(pairs, "media_id")
+        .join(F.broadcast(base_hashes), "base_id")
+        .select(
+            "media_id",
+            "base_id",
+            "phash_avg",
+            "phash_dct",
+            F.bit_count(F.expr("phash_avg ^ base_avg")).cast("long").alias("ham_avg"),
+            F.bit_count(F.expr("phash_dct ^ base_dct")).cast("long").alias("ham_dct"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _image_phash_dct_values() -> str:
+    from mhtml_to_html_spark.images.synth import phash64, phash_dct64
+    from mhtml_to_html_spark.media.exif import apply_orientation, parse_exif
+    from mhtml_to_html_spark.operators.multimodal import _decode_image, _to_rgb3
+
+    def hashes(data):
+        px = _decode_image(data)
+        if data[:2] == b"\xff\xd8":
+            px = apply_orientation(px, parse_exif(data).get("orientation", 1))
+        rgb = _to_rgb3(px)
+        return phash64(rgb), phash_dct64(rgb)
+
+    corpus = _phash_dct_corpus_rows()
+    by_id = {mid: hashes(data) for mid, _b, data in corpus}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rows = []
+    for mid, base, _data in corpus:
+        pa, pd_ = by_id[mid]
+        ba, bd = by_id[base]
+        rows.append(
+            {
+                "media_id": mid,
+                "base_id": base,
+                "phash_avg": pa,
+                "phash_dct": pd_,
+                "ham_avg": ham(pa, ba),
+                "ham_dct": ham(pd_, bd),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "base_id": "VARCHAR",
+            "phash_avg": "BIGINT",
+            "phash_dct": "BIGINT",
+            "ham_avg": "BIGINT",
+            "ham_dct": "BIGINT",
+        },
+    ) + " ORDER BY media_id"
+
+
 def q_frontier_stream(spark, sf_dir):
     """The same crawl world through the STREAMING politeness gate
     (applyInPandasWithState, checkpointed state across query restarts,
@@ -2868,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_codecs": q_image_codecs,
         "image_quality": q_image_quality,
         "image_exif": q_image_exif,
+        "image_phash_dct": q_image_phash_dct,
         "stream_windowed": q_stream_windowed,
         # rotated in: driver-unchecked in r2-r4 (judge-replayed only)
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
@@ -3363,6 +3477,7 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "image_codecs": _image_codecs_values(),
         "image_quality": _image_quality_values(),
         "image_exif": _image_exif_values(),
+        "image_phash_dct": _image_phash_dct_values(),
         "stream_windowed": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

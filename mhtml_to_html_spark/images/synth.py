@@ -169,3 +169,72 @@ def phash64(pixels: np.ndarray) -> int:
     if value >= 1 << 63:
         value -= 1 << 64
     return value
+
+
+_DCT32 = None
+
+
+def _dct32_basis():
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)[:, None]
+        n = np.arange(32)[None, :]
+        # orthonormal DCT-II: row 0 scaled by sqrt(1/32), rows 1+ by sqrt(2/32)
+        basis = np.cos(np.pi * (2 * n + 1) * k / 64.0)
+        basis[0] *= np.sqrt(1.0 / 32.0)
+        basis[1:] *= np.sqrt(2.0 / 32.0)
+        _DCT32 = basis
+    return _DCT32
+
+
+def phash_dct64(pixels: np.ndarray) -> int:
+    """64-bit perceptual DCT hash (the classic pHash): area-mean
+    downsample to 32x32 grayscale (exact integer prefix sums, same
+    resampler as phash64), orthonormal 2-D DCT, keep the top-left 8x8
+    low-frequency block, bit = coefficient strictly above the median of
+    the 63 non-DC coefficients (strict > is the deterministic
+    tie-break). More robust than the average hash to recompression,
+    gamma and local edits; signed int64 like phash64."""
+    gray3 = pixels.astype(np.int64).sum(axis=2)
+    h, w = gray3.shape
+    prefix = np.zeros((h + 1, w + 1), dtype=np.int64)
+    prefix[1:, 1:] = gray3.cumsum(0).cumsum(1)
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    block_sums = (
+        prefix[ys[1:, None], xs[None, 1:]]
+        - prefix[ys[:-1, None], xs[None, 1:]]
+        - prefix[ys[1:, None], xs[None, :-1]]
+        + prefix[ys[:-1, None], xs[None, :-1]]
+    )
+    counts = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    cells = np.divide(
+        block_sums,
+        counts * 3.0,
+        out=np.zeros((32, 32)),
+        where=counts > 0,
+    )
+    # images smaller than 32px in a dimension leave empty cells: fill
+    # from the nearest earlier non-empty row/col (deterministic)
+    if (counts == 0).any():
+        filled = cells.copy()
+        for y in range(32):
+            for x in range(32):
+                if counts[y, x] == 0:
+                    yy, xx = y, x
+                    while yy > 0 and counts[yy, x] == 0:
+                        yy -= 1
+                    while xx > 0 and counts[y, xx] == 0:
+                        xx -= 1
+                    filled[y, x] = cells[yy, x] if counts[yy, x] else cells[y, xx]
+        cells = filled
+    basis = _dct32_basis()
+    coef = basis @ cells @ basis.T
+    low = coef[:8, :8].flatten()
+    med = float(np.median(low[1:]))
+    bits = low > med
+    bits[0] = coef[0, 0] > med  # DC participates with the same rule
+    value = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    if value >= 1 << 63:
+        value -= 1 << 64
+    return value

@@ -439,6 +439,47 @@ def image_pixel_quality(media: DataFrame, **thresholds) -> DataFrame:
     return media.mapInPandas(run, schema=QUALITY_SCHEMA)
 
 
+HASHES_SCHEMA = "media_id string, phash_avg long, phash_dct long"
+
+
+def image_hashes(media: DataFrame, orient: bool = True) -> DataFrame:
+    """Both perceptual hashes per image: the 8x8 average hash
+    (images/synth.phash64 — cheap, banding-friendly) and the 32x32-DCT
+    pHash (phash_dct64 — robust to recompression/gamma). EXIF
+    orientation is normalized first by default so rotated duplicates
+    collide. Map-only mapInPandas; the hashes feed the banded near-dup
+    join (operators/similarity.py) unchanged — phash_dct is a drop-in
+    column for the same 16-bit-band pigeonhole."""
+
+    def run(batches):
+        import pandas as pd
+
+        from ..images.synth import phash64, phash_dct64
+
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(data)
+                pixels = _decode_image(data)
+                if orient and data[:2] == b"\xff\xd8":
+                    from ..media.exif import apply_orientation, parse_exif
+
+                    pixels = apply_orientation(
+                        pixels, parse_exif(data).get("orientation", 1)
+                    )
+                rgb = _to_rgb3(pixels)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "phash_avg": phash64(rgb),
+                        "phash_dct": phash_dct64(rgb),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "phash_avg", "phash_dct"])
+
+    return media.mapInPandas(run, schema=HASHES_SCHEMA)
+
+
 def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 12) -> DataFrame:
     """Nearest-neighbour image resize → raw RGB bytes (numpy-only)."""
 

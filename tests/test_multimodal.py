@@ -175,3 +175,32 @@ def test_image_pixel_quality_reasons(spark):
         assert out[mid]["keep"] is (reason is None)
     assert out["corrupt"]["width"] is None
     assert out["flat"]["entropy"] == 0.0  # not -0.0
+
+
+@pytest.mark.spark
+def test_dct_phash_near_dup_radius(spark):
+    """The DCT hash keeps true variants (recompression, brightness,
+    EXIF-rotated re-encode) within a small hamming radius while
+    distinct images stay far — the property the banded near-dup join
+    relies on."""
+    import __spark_entry__ as entry
+
+    rows = {r["media_id"]: r for r in entry.q_image_phash_dct(spark, None).collect()}
+    for mid, r in rows.items():
+        if "__" in mid:
+            assert r["ham_dct"] <= 10, (mid, r["ham_dct"])
+    # distinct bases are far apart under both hashes
+    b0, b1 = rows["b0"], rows["b1"]
+    far = bin((b0["phash_dct"] ^ b1["phash_dct"]) & ((1 << 64) - 1)).count("1")
+    assert far >= 20, far
+    # the rotated re-encode only collides BECAUSE orientation was
+    # normalized: without the tag applied the stored pixels differ
+    from mhtml_to_html_spark.images.synth import phash_dct64, synth_image
+    from mhtml_to_html_spark.operators.multimodal import _decode_image, _to_rgb3
+
+    base = synth_image(120, 64, 48)
+    raw = _to_rgb3(_decode_image([d for m, _b, d in entry._phash_dct_corpus_rows() if m == "b0__rot"][0]))
+    unoriented = bin(
+        (phash_dct64(raw) ^ phash_dct64(base)) & ((1 << 64) - 1)
+    ).count("1")
+    assert unoriented > 10, unoriented
