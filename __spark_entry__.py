@@ -1408,6 +1408,11 @@ def _media_corpus_rows():
         rows.append((f"aud_{i}", "audio", encode_wav(synth_audio(i, seconds=0.3 + i / 10), 8000)))
         rows.append((f"vid_{i}", "video", encode_y4m(synth_video(i, n_frames=3 + i), fps=25)))
         rows.append((f"img_{i}", "image", encode_image(synth_image(i, 20 + i, 12 + i), "bmp")))
+    from mhtml_to_html_spark.media.codecs import encode_ima_adpcm_wav
+
+    rows.append(
+        ("aud_adpcm", "audio", encode_ima_adpcm_wav(synth_audio(9, seconds=0.4), 8000))
+    )
     for i in range(2):
         rows.append(
             (f"png_{i}", "image", encode_png(synth_image(40 + i, 18 + i, 11 + i), interlace=bool(i)))

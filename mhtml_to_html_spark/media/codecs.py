@@ -41,28 +41,39 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """PCM16 WAV → (float32 samples shape (n,) or (n, ch), rate)."""
+    """WAV → (float32 samples shape (n,) or (n, ch), rate). Handles
+    PCM16 (format 1) and IMA ADPCM (format 0x11 — real 4:1 compressed
+    audio, decoded by decode_ima_adpcm below)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     rate = channels = None
+    audio_fmt = None
+    block_align = 0
     payload = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            audio_fmt, channels, rate, _brate, block_align = struct.unpack_from(
+                "<HHIIH", body, 0
+            )
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            if audio_fmt == 1 and bits != 16:
+                raise ValueError(f"unsupported PCM WAV (bits={bits})")
+            if audio_fmt not in (1, 0x11):
+                raise ValueError(f"unsupported WAV format {audio_fmt}")
         elif cid == b"data":
             payload = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
-    pcm = np.frombuffer(payload, dtype="<i2")
-    samples = (pcm.astype(np.float32) / 32767.0).reshape(-1, channels)
+    if audio_fmt == 0x11:
+        pcm = decode_ima_adpcm(payload, channels, block_align)
+    else:
+        pcm = np.frombuffer(payload, dtype="<i2").reshape(-1, channels)
+    samples = pcm.astype(np.float32) / 32767.0
     return (samples[:, 0] if channels == 1 else samples), int(rate)
 
 
@@ -170,3 +181,138 @@ def synth_video(media_id: int, n_frames: int = 6, w: int = 24, h: int = 16) -> l
         )
         frames.append(((base.astype(np.uint16) + wave[..., None]) // 2).astype(np.uint8))
     return frames
+
+
+# --- IMA ADPCM (WAV format tag 0x11) -------------------------------------------
+#
+# Real compressed audio the container can decode without ffmpeg: 4:1
+# compression, the IMA/DVI spec's step & index tables, block-aligned
+# with a (predictor, step index) header per channel per block.
+
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return predictor, index
+
+
+def decode_ima_adpcm(payload: bytes, channels: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM data chunk → int16 PCM, shape (n, channels)."""
+    out = [[] for _ in range(channels)]
+    for boff in range(0, len(payload) - (len(payload) % block_align or 0), block_align):
+        block = payload[boff : boff + block_align]
+        if len(block) < 4 * channels:
+            break
+        preds = []
+        idxs = []
+        for c in range(channels):
+            pred, idx = struct.unpack_from("<hB", block, 4 * c)[0], block[4 * c + 2]
+            idx = min(idx, 88)
+            preds.append(pred)
+            idxs.append(idx)
+            out[c].append(pred)  # the header predictor IS the first sample
+        # after the headers: interleaved 4-byte (8-nibble) groups per channel
+        pos = 4 * channels
+        while pos + 4 * channels <= len(block):
+            for c in range(channels):
+                group = block[pos + 4 * c : pos + 4 * c + 4]
+                for byte in group:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        out[c].append(preds[c])
+            pos += 4 * channels
+    n = min(len(ch) for ch in out)
+    pcm = np.stack([np.asarray(ch[:n], dtype=np.int16) for ch in out], axis=1)
+    return pcm
+
+
+def encode_ima_adpcm_wav(
+    samples: np.ndarray, rate: int = 8000, samples_per_block: int = 505
+) -> bytes:
+    """float32 [-1,1] (n,) or (n, ch) → IMA ADPCM WAV (format 0x11)."""
+    samples = np.asarray(samples, dtype=np.float64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    pcm = np.clip(np.rint(samples * 32767.0), -32768, 32767).astype(np.int64)
+    if n == 0:
+        raise ValueError("no samples")
+    # pad so every block is full: each block spans exactly per_block
+    # samples (1 in the header + per_block-1 as nibbles)
+    per_block = samples_per_block
+    if (per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    pad = (-n) % per_block
+    pcm = np.vstack([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+    n_padded = pcm.shape[0]
+    block_align = 4 * channels + (per_block - 1) // 2 * channels
+    idxs = [0] * channels
+    blocks = []
+    for start in range(0, n_padded, per_block):
+        chunk = pcm[start : start + per_block]
+        if chunk.shape[0] < per_block:
+            break
+        header = bytearray()
+        preds = []
+        for c in range(channels):
+            pred = int(chunk[0, c])
+            header += struct.pack("<hBB", pred, idxs[c], 0)
+            preds.append(pred)
+        nibbles = [[] for _ in range(channels)]
+        for c in range(channels):
+            for s in chunk[1:, c]:
+                step = _IMA_STEP_TABLE[idxs[c]]
+                diff = int(s) - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                mask = 4
+                tmp = step
+                for _ in range(3):
+                    if diff >= tmp:
+                        nib |= mask
+                        diff -= tmp
+                    tmp >>= 1
+                    mask >>= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibbles[c].append(nib)
+        body = bytearray()
+        for goff in range(0, len(nibbles[0]), 8):
+            for c in range(channels):
+                g = nibbles[c][goff : goff + 8]
+                for k in range(0, 8, 2):
+                    body.append(g[k] | (g[k + 1] << 4))
+        blocks.append(bytes(header) + bytes(body))
+    payload = b"".join(blocks)
+    byte_rate = rate * block_align // per_block  # nominal
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, channels, rate, byte_rate, block_align, 4
+    ) + struct.pack("<HH", 2, per_block)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    fact = struct.pack("<I", n_padded)
+    chunks += b"fact" + struct.pack("<I", len(fact)) + fact
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -8,8 +8,8 @@ codecs for the self-contained formats:
   (all color types, Adam7), GIF (LZW, palettes, animation), and
   baseline JPEG (media/png.py, gif.py, jpeg.py — stdlib zlib + numpy,
   no Pillow);
-- audio decodes for real when the payload is RIFF/PCM16 WAV
-  (media/codecs.py, numpy-only);
+- audio decodes for real when the payload is WAV — PCM16 or IMA
+  ADPCM compressed (format 0x11) — via media/codecs.py, numpy-only;
 - video decodes for real when the payload is YUV4MPEG2 C444
   (media/codecs.py) or an animated GIF (frame delays -> timestamps);
 - the remaining compressed containers (mp3/aac/mp4/h264...) need

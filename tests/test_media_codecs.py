@@ -94,3 +94,71 @@ def test_strict_still_raises_on_compressed_formats(spark):
     )
     with pytest.raises(Exception, match="(?i)ffmpeg|NotImplemented"):
         extract_features(media, strict=True).collect()
+
+
+class TestImaAdpcm:
+    """IMA ADPCM WAV (format 0x11) — real 4:1 compressed audio."""
+
+    def test_round_trip_snr(self):
+        import numpy as np
+
+        from mhtml_to_html_spark.media.codecs import (
+            decode_wav,
+            encode_ima_adpcm_wav,
+            synth_audio,
+        )
+
+        wave = synth_audio(3, seconds=0.8)
+        out, rate = decode_wav(encode_ima_adpcm_wav(wave, 8000))
+        assert rate == 8000
+        assert len(out) >= len(wave)  # padded to whole blocks, never truncated
+        n = len(wave)
+        noise = wave.astype(np.float64) - out[:n].astype(np.float64)
+        snr = 10 * np.log10((wave.astype(np.float64) ** 2).sum() / (noise**2).sum())
+        assert snr > 15.0, snr
+
+    def test_stereo_channels_independent(self):
+        import numpy as np
+
+        from mhtml_to_html_spark.media.codecs import (
+            decode_wav,
+            encode_ima_adpcm_wav,
+            synth_audio,
+        )
+
+        left = synth_audio(5, seconds=0.3)
+        right = synth_audio(6, seconds=0.3)
+        out, _ = decode_wav(encode_ima_adpcm_wav(np.stack([left, right], axis=1), 8000))
+        assert out.shape[1] == 2
+        n = len(left)
+        # each decoded channel correlates with ITS source, not the other
+        cl = np.corrcoef(left, out[:n, 0])[0, 1]
+        cx = np.corrcoef(left, out[:n, 1])[0, 1]
+        assert cl > 0.95 and abs(cx) < 0.5
+
+    def test_nibble_decoder_hand_vector(self):
+        """Hand-computed IMA steps at index 0 (step 7): nibble 0b0111
+        -> diff = 7>>3 + 7>>2 + 7>>1 + 7 = 0+1+3+7 = 11, index += 8;
+        nibble 0b1000 -> diff = 7>>3 = 0 subtracted, index -1 floored
+        at 0."""
+        from mhtml_to_html_spark.media.codecs import _ima_step
+
+        assert _ima_step(0, 0, 0b0111) == (11, 8)
+        assert _ima_step(100, 0, 0b1000) == (100, 0)
+        # magnitude clamp at int16 bounds
+        pred, _ = _ima_step(32767, 88, 0b0111)
+        assert pred == 32767
+
+    def test_unsupported_format_still_raises(self):
+        import struct
+
+        from mhtml_to_html_spark.media.codecs import decode_wav
+
+        fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)  # A-law
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        bad = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unsupported WAV format"):
+            decode_wav(bad)
