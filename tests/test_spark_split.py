@@ -76,3 +76,65 @@ def test_images_extracted_with_invariants(parts, spark):
         assert row["w"] == meta["w"] and row["h"] == meta["h"]
         if row["fmt"] != "lossy":
             assert row["phash"] == meta["phash"]
+
+
+@pytest.mark.spark
+def test_compressed_image_parts_extracted(spark):
+    """An archive carrying real PNG/GIF/JPEG parts (the formats actual
+    crawled MHTML inlines) flows split -> extract with pixel-exact
+    lossless decodes and the format sniffed from magic, not extension."""
+    import base64
+
+    from tests.helpers.mhtml_builder import encode_base64_body, mhtml_doc, part
+    from mhtml_to_html_spark.images.synth import phash64
+    from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
+    from mhtml_to_html_spark.operators.multimodal import _decode_image, _to_rgb3
+
+    png_px = synth_image(301, 20, 14)
+    gif_px = synth_image(302, 16, 12) // 64 * 64
+    jpg_bytes = encode_jpeg(synth_image(303, 24, 16), quality=90)
+    doc = mhtml_doc(
+        parts=[
+            part(
+                content_type="text/html",
+                location="https://example.com/",
+                body='<img src="a.png"><img src="b.gif"><img src="c.jpg">',
+            ),
+            part(
+                content_type="image/png",
+                transfer_encoding="base64",
+                location="https://example.com/a.png",
+                body=encode_base64_body(encode_png(png_px)),
+            ),
+            part(
+                content_type="text/plain",
+                location="https://example.com/a.txt",
+                body="a png caption",
+            ),
+            part(
+                content_type="image/gif",
+                transfer_encoding="base64",
+                location="https://example.com/b.gif",
+                body=encode_base64_body(encode_gif([gif_px])),
+            ),
+            part(
+                content_type="image/jpeg",
+                transfer_encoding="base64",
+                location="https://example.com/c.jpg",
+                body=encode_base64_body(jpg_bytes),
+            ),
+        ]
+    )
+    archives = spark.createDataFrame(
+        [("arc_png", bytearray(doc))], "archive_id string, content binary"
+    )
+    rows = {r["image_id"]: r for r in extract_images(split_archives(archives)).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert (rows["a"]["fmt"], rows["a"]["w"], rows["a"]["h"]) == ("png", 20, 14)
+    assert rows["a"]["caption"] == "a png caption"
+    assert rows["a"]["phash"] == phash64(png_px)
+    assert (rows["b"]["fmt"], rows["b"]["w"], rows["b"]["h"]) == ("gif", 16, 12)
+    assert rows["b"]["phash"] == phash64(gif_px)
+    # JPEG is lossy: the phash must match a direct decode of the bytes
+    assert rows["c"]["fmt"] == "jpeg"
+    assert rows["c"]["phash"] == phash64(_to_rgb3(_decode_image(jpg_bytes)))
