@@ -1557,11 +1557,13 @@ def _image_codec_corpus_rows():
     """One payload per codec variant the image axis must decode:
     PNG gray/gray+alpha/RGB/RGBA, interlaced PNG, plain/interlaced/
     animated GIF, JPEG 4:4:4 / 4:2:0 / grayscale / restart-interval,
-    plus the uncompressed PPM/BMP/raw controls."""
+    progressive (SOF2) color/gray/restart variants, plus the
+    uncompressed PPM/BMP/raw controls."""
     import numpy as np
 
     from mhtml_to_html_spark.images.synth import encode_image, synth_image
     from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
+    from mhtml_to_html_spark.media.jpeg import encode_jpeg_progressive
 
     def chan(i, c, w=19, h=13):
         rgb = synth_image(70 + i, w, h)
@@ -1588,6 +1590,19 @@ def _image_codec_corpus_rows():
         ("jpg_420_q80", encode_jpeg(synth_image(83, 22, 18), quality=80, subsample=True)),
         ("jpg_gray", encode_jpeg(synth_image(84, 16, 12)[..., 0], quality=90)),
         ("jpg_restart", encode_jpeg(synth_image(85, 32, 24), quality=85, restart_interval=2)),
+        ("jpg_prog", encode_jpeg_progressive(synth_image(89, 26, 19), quality=85)),
+        (
+            "jpg_prog_444",
+            encode_jpeg_progressive(synth_image(91, 18, 15), quality=92, subsample=False),
+        ),
+        (
+            "jpg_prog_gray",
+            encode_jpeg_progressive(synth_image(92, 17, 14)[..., 0], quality=88),
+        ),
+        (
+            "jpg_prog_restart",
+            encode_jpeg_progressive(synth_image(93, 30, 21), quality=85, restart_interval=2),
+        ),
         ("ppm_control", encode_image(synth_image(86, 10, 8), "ppm")),
         ("bmp_control", encode_image(synth_image(87, 10, 8), "bmp")),
         ("raw_control", encode_image(synth_image(88, 10, 8), "raw")),

@@ -120,29 +120,40 @@ def bench_mhtml_decode(spark, sf_dir):
     return images.filter("caption is not null").count()
 
 
-def _prepare_image_corpus(spark, path: str, n: int) -> None:
+def _prepare_image_corpus(spark, path: str, n: int, progressive: bool = False) -> None:
     """Mixed PNG/JPEG/GIF payloads (the formats a crawl actually
     yields), built executor-side from (index) only and parqueted once,
-    untimed — the bench unit then times pure read+decode."""
+    untimed — the bench unit then times pure read+decode.
+    progressive=True builds an all-SOF2 JPEG corpus instead (the
+    dominant encoding for large web JPEGs), benched as its own unit so
+    image_decode stays comparable across rounds."""
 
     def build(batches):
         import pandas as pd
 
         from mhtml_to_html_spark.images.synth import synth_image
-        from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
+        from mhtml_to_html_spark.media import (
+            encode_gif,
+            encode_jpeg,
+            encode_jpeg_progressive,
+            encode_png,
+        )
 
         for pdf in batches:
             rows = []
             for i in pdf["i"]:
                 i = int(i)
                 img = synth_image(i, 64, 48)
-                k = i % 3
-                if k == 0:
-                    data = encode_png(img)
-                elif k == 1:
-                    data = encode_jpeg(img, quality=85)
+                if progressive:
+                    data = encode_jpeg_progressive(img, quality=85)
                 else:
-                    data = encode_gif([img // 64 * 64])
+                    k = i % 3
+                    if k == 0:
+                        data = encode_png(img)
+                    elif k == 1:
+                        data = encode_jpeg(img, quality=85)
+                    else:
+                        data = encode_gif([img // 64 * 64])
                 rows.append({"media_id": f"m_{i}", "bytes": data})
             yield pd.DataFrame(rows, columns=["media_id", "bytes"])
 
@@ -257,6 +268,16 @@ def main():
     _prepare_image_corpus(spark, img_dir, n_bench_images)
     units.append(
         ("image_decode", lambda: _force(decode_images(spark.read.parquet(img_dir))))
+    )
+    prog_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_IMG_PROG_DIR", "/tmp/bench_image_corpus_prog"
+    )
+    _prepare_image_corpus(spark, prog_dir, n_bench_images, progressive=True)
+    units.append(
+        (
+            "image_decode_prog",
+            lambda: _force(decode_images(spark.read.parquet(prog_dir))),
+        )
     )
     units.append(("mhtml_decode", lambda: bench_mhtml_decode(spark, SF_DIR)))
     units.append(("mhtml_pages", lambda: bench_mhtml_pages(spark)))

@@ -7,5 +7,5 @@ from .codecs import (  # noqa: F401
     synth_video,
 )
 from .gif import decode_gif, encode_gif  # noqa: F401
-from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
+from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive  # noqa: F401
 from .png import decode_png, encode_png  # noqa: F401

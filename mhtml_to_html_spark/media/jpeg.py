@@ -1,22 +1,35 @@
-"""Baseline JPEG codec — pure Python + numpy, no Pillow/libjpeg.
+"""JPEG codec (baseline + progressive) — pure Python + numpy, no
+Pillow/libjpeg.
 
-Implements ITU-T T.81 baseline sequential DCT with Huffman coding:
+Implements ITU-T T.81 DCT with Huffman coding:
 
-- decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI marker parse, generic
-  DHT-built Huffman tables (not assumed to be the Annex K defaults),
-  0xFF00 byte unstuffing, restart-marker resync, dequantize + inverse
-  zigzag + orthonormal-basis IDCT, nearest-neighbour chroma upsampling
-  for any (h, v) sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0),
-  JFIF full-range YCbCr -> RGB (ITU-T T.871), single-component
-  grayscale;
+- decoder: SOI/APPn/COM/DQT/SOF0/1/2/DHT/DRI/SOS/EOI marker parse,
+  generic DHT-built Huffman tables (not assumed to be the Annex K
+  defaults), 0xFF00 byte unstuffing, restart-marker resync,
+  dequantize + inverse zigzag + orthonormal-basis IDCT,
+  nearest-neighbour chroma upsampling for any (h, v) sampling factors
+  up to 2x2 (4:4:4, 4:2:2, 4:2:0), JFIF full-range YCbCr -> RGB
+  (ITU-T T.871), single-component grayscale. Progressive (SOF2)
+  decodes the full T.81 Annex G flow: interleaved/non-interleaved DC
+  scans, spectral-selection AC bands, successive approximation
+  (first + refinement passes for DC and AC), EOBn run coding, ZRL in
+  refinement scans, correction bits, and restart resync inside every
+  scan kind;
 - encoder: quality-scaled Annex K quantization tables (the libjpeg
   scaling law), Annex K Huffman tables, 4:4:4 or 4:2:0, optional
   restart intervals — used by tests and the synthetic corpus to build
-  real payloads. Decoder tests do not trust the encoder: they include
-  a hand-assembled DC-only stream with known output.
+  real payloads. `encode_jpeg_progressive` writes a multi-scan
+  successive-approximation script (libjpeg-style) with per-scan
+  optimal Huffman tables built by the T.81 Annex K.2 frequency
+  procedure. Decoder tests do not trust the encoders: they include a
+  hand-assembled DC-only stream with known output, and progressive
+  correctness is additionally pinned by a differential gate —
+  baseline and progressive encodings of the same pixels carry the
+  same quantized coefficients, so their decodes must be bit-equal.
 
-JPEG is lossy, so there is no bit round-trip; correctness is pinned by
-hand vectors plus PSNR gates on encode->decode.
+JPEG is lossy, so there is no pixel round-trip; correctness is pinned
+by hand vectors, the progressive-vs-baseline equality gate, and PSNR
+gates on encode->decode.
 
 Reference parity: the reference carries image parts opaquely (data
 URIs); pixel decode exists for the engine's image axis (phash,
@@ -153,9 +166,15 @@ def _canonical_codes(bits: list[int], values: list[int]):
 # LUT Huffman decode (the libjpeg technique): JPEG codes are at most
 # 16 bits, so a 2^16-entry table keyed by the next 16 bits of the
 # stream yields (value, code length) in one lookup. Tables are cached
-# per (bits, values) signature — in a corpus virtually every file
-# shares the Annex K tables, so the build cost amortizes to zero.
+# per (bits, values) signature — in a corpus virtually every BASELINE
+# file shares the Annex K tables, so the build cost amortizes to
+# zero. Progressive files carry per-file OPTIMAL tables that never
+# repeat, so the cache is bounded: unchecked it grew ~1 MB per decoded
+# progressive image inside long-lived Spark python workers (128 KB x
+# ~8 unique tables/file), tripling the decode bench via allocator
+# pressure.
 _LUT_CACHE: dict[tuple, tuple[bytes, bytes]] = {}
+_LUT_CACHE_MAX = 128
 
 
 def _huff_lut(bits: list[int], values: list[int]) -> tuple[bytes, bytes]:
@@ -163,31 +182,37 @@ def _huff_lut(bits: list[int], values: list[int]) -> tuple[bytes, bytes]:
     cached = _LUT_CACHE.get(key)
     if cached is not None:
         return cached
-    val = bytearray(1 << 16)
-    length = bytearray(1 << 16)  # 0 = invalid prefix
+    while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        # evict oldest (dict preserves insertion order); the long-lived
+        # Annex K entries re-insert on their next hit
+        del _LUT_CACHE[next(iter(_LUT_CACHE))]
+    val = np.zeros(1 << 16, dtype=np.uint8)
+    length = np.zeros(1 << 16, dtype=np.uint8)  # 0 = invalid prefix
     code = 0
     vi = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             start = code << (16 - ln)
             span = 1 << (16 - ln)
-            val[start : start + span] = bytes([values[vi]]) * span
-            length[start : start + span] = bytes([ln]) * span
+            val[start : start + span] = values[vi]  # C-speed fill
+            length[start : start + span] = ln
             code += 1
             vi += 1
         code <<= 1
-    out = (bytes(val), bytes(length))
+    out = (val.tobytes(), length.tobytes())
     _LUT_CACHE[key] = out
     return out
 
 
-def _split_scan(data: bytes, pos: int) -> list[bytes]:
-    """Entropy-coded data starting at pos → restart segments with the
-    0xFF00 byte stuffing removed; stops at the first real marker."""
+def _split_scan(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data starting at pos → (restart segments with the
+    0xFF00 byte stuffing removed, offset of the terminating marker's
+    0xFF); stops at the first real marker."""
     segments = []
     cur = bytearray()
     i = pos
     n = len(data)
+    end = n
     while True:
         j = data.find(b"\xff", i)
         if j < 0:
@@ -203,23 +228,42 @@ def _split_scan(data: bytes, pos: int) -> list[bytes]:
             cur = bytearray()
             i = j + 2
         else:
-            break  # terminating marker (EOI or next segment)
+            end = j  # terminating marker (EOI or next segment)
+            break
     segments.append(bytes(cur))
-    return segments
+    return segments, end
 
 
 # --- decoder ---------------------------------------------------------------------
 
 
+def _bit_windows(seg: bytes) -> list[int]:
+    """48-bit big-endian window starting at every byte offset — one
+    numpy pass, then O(1) plain-int reads in the hot loop (a 16-bit
+    peek or a <=16-bit receive at bit offset p lives entirely inside
+    windows[p >> 3])."""
+    arr = np.frombuffer(seg + b"\x00" * 8, dtype=np.uint8).astype(np.uint64)
+    view = np.lib.stride_tricks.sliding_window_view(arr, 6)[: len(seg) + 3]
+    weights = (1 << (np.arange(5, -1, -1, dtype=np.uint64) * 8)).astype(np.uint64)
+    return (view * weights).sum(axis=1).tolist()
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) RGB uint8 (or (h, w, 1) gray)."""
+    """JPEG bytes → (h, w, 3) RGB uint8 (or (h, w, 1) gray).
+
+    Baseline (SOF0/1) single-scan files take the fast one-pass path;
+    progressive (SOF2) files accumulate coefficients across scans."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     frame = None  # (h, w, components[(cid, hs, vs, tq)])
+    progressive = False
     restart_interval = 0
+    coef: list[list[list[int]]] | None = None  # per comp: blocks × 64 (zigzag)
+    geom = None  # (hmax, vmax, mcus_x, mcus_y, bx_total[], by_total[])
+    saw_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -231,6 +275,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue  # standalone
         seglen = struct.unpack_from(">H", data, pos)[0]
         body = data[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
         pos += seglen
         if marker == 0xDB:  # DQT
             off = 0
@@ -251,30 +297,71 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
                 values = list(body[off + 17 : off + 17 + n])
+                if len(bits) < 16 or len(values) < n:
+                    raise ValueError("truncated DHT segment")
                 htables[(tc, th)] = _huff_lut(bits, values)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-decodable)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax > 2 or vmax > 2:
+                    raise ValueError("sampling factors above 2x2 unsupported")
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                bx_total = [mcus_x * c[1] for c in comps]
+                by_total = [mcus_y * c[2] for c in comps]
+                geom = (hmax, vmax, mcus_x, mcus_y, bx_total, by_total)
+                coef = [
+                    [[0] * 64 for _ in range(bx_total[ci] * by_total[ci])]
+                    for ci in range(ncomp)
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG coding (SOF marker 0xFF{marker:02X})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            scan_ids = []
             scan_tables = {}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_ids.append(cs)
                 scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                data, pos, frame, scan_tables, qtables, htables, restart_interval
+            if not progressive:
+                if len(scan_tables) != len(frame[2]):
+                    raise ValueError("multi-scan sequential JPEG unsupported")
+                return _decode_scan(
+                    data, pos, frame, scan_tables, qtables, htables, restart_interval
+                )
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            saw_scan = True
+            pos = _scan_progressive(
+                data,
+                pos,
+                frame,
+                geom,
+                scan_ids,
+                scan_tables,
+                ss,
+                se,
+                a >> 4,
+                a & 0x0F,
+                htables,
+                restart_interval,
+                coef,
             )
+    if progressive and saw_scan:
+        return _assemble_progressive(frame, geom, coef, qtables)
     raise ValueError("JPEG carries no scan")
 
 
@@ -287,7 +374,7 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, restart_interv
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    segments = _split_scan(data, pos)
+    segments, _end = _split_scan(data, pos)
     n_comp = len(comps)
     # per-component decode products: zigzag coefficient rows + block origins
     zz_rows: list[list[list[int]]] = [[] for _ in comps]
@@ -297,19 +384,9 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, restart_interv
         for cid, _hs, _vs, _tq in comps
     ]
 
-    def windows(seg: bytes) -> list[int]:
-        """48-bit big-endian window starting at every byte offset —
-        one numpy pass, then O(1) plain-int reads in the hot loop
-        (a 16-bit peek or a <=16-bit receive at bit offset p lives
-        entirely inside windows[p >> 3])."""
-        arr = np.frombuffer(seg + b"\x00" * 8, dtype=np.uint8).astype(np.uint64)
-        view = np.lib.stride_tricks.sliding_window_view(arr, 6)[: len(seg) + 3]
-        weights = (1 << (np.arange(5, -1, -1, dtype=np.uint64) * 8)).astype(np.uint64)
-        return (view * weights).sum(axis=1).tolist()
-
     # hot loop: locals only, precomputed bit windows
     seg_idx = 0
-    w48 = windows(segments[0])
+    w48 = _bit_windows(segments[0])
     nbits = len(segments[0]) * 8
     bitpos = 0
     preds = [0] * n_comp
@@ -323,7 +400,7 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, restart_interv
                 seg_idx += 1
                 if seg_idx >= len(segments):
                     raise ValueError("missing JPEG restart segment")
-                w48 = windows(segments[seg_idx])
+                w48 = _bit_windows(segments[seg_idx])
                 nbits = len(segments[seg_idx]) * 8
                 bitpos = 0
                 preds = [0] * n_comp
@@ -396,6 +473,268 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, restart_interv
     # upsample to full resolution and crop
     full = []
     for (cid, hs, vs, tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(up[:h, :w])
+    out = np.stack(full, axis=-1)
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    if out.shape[-1] == 3:
+        return _ycbcr_to_rgb(out)
+    return out
+
+
+def _scan_progressive(
+    data,
+    pos,
+    frame,
+    geom,
+    scan_ids,
+    scan_tables,
+    ss,
+    se,
+    ah,
+    al,
+    htables,
+    restart_interval,
+    coef,
+):
+    """Decode one progressive scan (T.81 Annex G) into the per-component
+    zigzag coefficient store; returns the offset of the terminating
+    marker. Handles all four scan kinds: DC first/refine (interleaved
+    or single-component) and AC first/refine (single-component bands
+    with EOBn run coding and correction bits)."""
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y, bx_total, by_total = geom
+    segments, end = _split_scan(data, pos)
+    idxs = [next(i for i, c in enumerate(comps) if c[0] == cid) for cid in scan_ids]
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss != 0 and len(idxs) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral selection")
+
+    # Hot loops below keep everything in locals and inline every bit
+    # read (the closure-per-bit first version cost ~2.5x on the
+    # all-progressive decode bench). Iteration plan: restart units
+    # ("MCUs"). Interleaved DC scans use the frame MCU grid (dummy
+    # blocks of subsampled components included); single-component
+    # scans walk the component's own block raster (T.81 A.2.2).
+    seg_idx = 0
+    w48 = _bit_windows(segments[0])
+    nbits = len(segments[0]) * 8
+    bitpos = 0
+    eobrun = 0
+    mcu_in_seg = 0
+    p1 = 1 << al
+    m1 = -1 << al
+
+    if ss == 0:  # DC scan (interleaved or single-component)
+        dc_luts = {ci: htables[(0, scan_tables[comps[ci][0]][0])] for ci in idxs}
+        if len(idxs) > 1:
+            total_units = mcus_x * mcus_y
+
+            def unit_blocks(mcu_idx):
+                my, mx = divmod(mcu_idx, mcus_x)
+                return [
+                    (
+                        ci,
+                        (my * comps[ci][2] + by) * bx_total[ci]
+                        + (mx * comps[ci][1] + bx),
+                    )
+                    for ci in idxs
+                    for by in range(comps[ci][2])
+                    for bx in range(comps[ci][1])
+                ]
+
+        else:
+            ci0 = idxs[0]
+            hs0, vs0 = comps[ci0][1], comps[ci0][2]
+            bw0 = -(-(-(-w * hs0 // hmax)) // 8)
+            bh0 = -(-(-(-h * vs0 // vmax)) // 8)
+            total_units = bw0 * bh0
+            bxt0 = bx_total[ci0]
+
+            def unit_blocks(mcu_idx):
+                by, bx = divmod(mcu_idx, bw0)
+                return [(ci0, by * bxt0 + bx)]
+
+        preds = {ci: 0 for ci in idxs}
+        for mcu_idx in range(total_units):
+            if restart_interval and mcu_in_seg == restart_interval:
+                if bitpos > nbits:
+                    raise ValueError("JPEG restart segment overran")
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                w48 = _bit_windows(segments[seg_idx])
+                nbits = len(segments[seg_idx]) * 8
+                bitpos = 0
+                preds = {ci: 0 for ci in idxs}
+                mcu_in_seg = 0
+            mcu_in_seg += 1
+            if ah == 0:  # DC first
+                for ci, bi in unit_blocks(mcu_idx):
+                    dc_val, dc_len = dc_luts[ci]
+                    v16 = (w48[bitpos >> 3] >> (32 - (bitpos & 7))) & 0xFFFF
+                    ln = dc_len[v16]
+                    if ln == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    size = dc_val[v16]
+                    bitpos += ln
+                    if size:
+                        mag = (
+                            w48[bitpos >> 3] >> (48 - (bitpos & 7) - size)
+                        ) & ((1 << size) - 1)
+                        bitpos += size
+                        preds[ci] += (
+                            mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+                        )
+                    coef[ci][bi][0] = preds[ci] << al
+            else:  # DC refine: one appended bit per block
+                for ci, bi in unit_blocks(mcu_idx):
+                    bit = (w48[bitpos >> 3] >> (47 - (bitpos & 7))) & 1
+                    bitpos += 1
+                    if bit:
+                        coef[ci][bi][0] |= p1
+    else:  # AC scan: single component, its own block raster
+        ci0 = idxs[0]
+        hs0, vs0 = comps[ci0][1], comps[ci0][2]
+        bw0 = -(-(-(-w * hs0 // hmax)) // 8)
+        bh0 = -(-(-(-h * vs0 // vmax)) // 8)
+        bxt0 = bx_total[ci0]
+        coef_c = coef[ci0]
+        ac_val, ac_len = htables[(1, scan_tables[comps[ci0][0]][1])]
+        for by in range(bh0):
+            row_base = by * bxt0
+            for bx in range(bw0):
+                if restart_interval and mcu_in_seg == restart_interval:
+                    if bitpos > nbits:
+                        raise ValueError("JPEG restart segment overran")
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("missing JPEG restart segment")
+                    w48 = _bit_windows(segments[seg_idx])
+                    nbits = len(segments[seg_idx]) * 8
+                    bitpos = 0
+                    eobrun = 0
+                    mcu_in_seg = 0
+                mcu_in_seg += 1
+                if ah == 0:  # AC first (EOBn runs, ZRL, values << Al)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    blk = coef_c[row_base + bx]
+                    k = ss
+                    while k <= se:
+                        v16 = (w48[bitpos >> 3] >> (32 - (bitpos & 7))) & 0xFFFF
+                        ln = ac_len[v16]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        rs = ac_val[v16]
+                        bitpos += ln
+                        s = rs & 0x0F
+                        if s:
+                            k += rs >> 4
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            mag = (
+                                w48[bitpos >> 3] >> (48 - (bitpos & 7) - s)
+                            ) & ((1 << s) - 1)
+                            bitpos += s
+                            blk[k] = (
+                                mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+                            ) << al
+                            k += 1
+                        else:
+                            r = rs >> 4
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += (
+                                        w48[bitpos >> 3] >> (48 - (bitpos & 7) - r)
+                                    ) & ((1 << r) - 1)
+                                    bitpos += r
+                                break
+                            k += 16  # ZRL
+                else:  # AC refine (T.81 G.1.2.3 / correction-bit pass)
+                    blk = coef_c[row_base + bx]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            v16 = (w48[bitpos >> 3] >> (32 - (bitpos & 7))) & 0xFFFF
+                            ln = ac_len[v16]
+                            if ln == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            rs = ac_val[v16]
+                            bitpos += ln
+                            s = rs & 0x0F
+                            r = rs >> 4
+                            if s:
+                                bit = (w48[bitpos >> 3] >> (47 - (bitpos & 7))) & 1
+                                bitpos += 1
+                                val = p1 if bit else m1
+                            else:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += (
+                                            w48[bitpos >> 3]
+                                            >> (48 - (bitpos & 7) - r)
+                                        ) & ((1 << r) - 1)
+                                        bitpos += r
+                                    break
+                                val = 0  # ZRL: 16 zero-history coefficients
+                            while k <= se:
+                                c = blk[k]
+                                if c != 0:
+                                    bit = (
+                                        w48[bitpos >> 3] >> (47 - (bitpos & 7))
+                                    ) & 1
+                                    bitpos += 1
+                                    if bit and (c & p1) == 0:
+                                        blk[k] = c + (p1 if c >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError(
+                                        "AC refinement run past band end"
+                                    )
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            c = blk[k]
+                            if c != 0:
+                                bit = (w48[bitpos >> 3] >> (47 - (bitpos & 7))) & 1
+                                bitpos += 1
+                                if bit and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+
+    if bitpos > nbits:
+        raise ValueError("JPEG scan truncated")
+    return end
+
+
+def _assemble_progressive(frame, geom, coef, qtables):
+    """Accumulated zigzag coefficients → pixels (dequantize + batched
+    IDCT + dense plane assembly + upsample + color convert)."""
+    h, w, comps = frame
+    hmax, vmax, _mcus_x, _mcus_y, bx_total, by_total = geom
+    full = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        by, bx = by_total[ci], bx_total[ci]
+        coefs = np.asarray(coef[ci], dtype=np.int64)[:, _UNZIGZAG].reshape(-1, 8, 8)
+        blocks = (
+            np.einsum("ij,njk,kl->nil", _A.T, coefs * qtables[tq][None, :, :], _A)
+            + 128.0
+        )
+        plane = blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(up[:h, :w])
     out = np.stack(full, axis=-1)
@@ -626,5 +965,372 @@ def encode_jpeg(
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+# --- progressive encoder -----------------------------------------------------------
+
+
+def _optimal_table(freq: list[int]) -> tuple[list[int], list[int]]:
+    """Symbol frequencies → (bits[1..16], values): the T.81 Annex K.2
+    optimal code-length procedure (reserved all-ones codepoint, ties
+    to the highest symbol, 16-bit length limit)."""
+    freq = list(freq) + [1]  # reserved codepoint (figure K.9)
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        c1 = c2 = -1
+        v = 1 << 62
+        for i, f in enumerate(freq):
+            if 0 < f <= v:
+                v = f
+                c1 = i
+        v = 1 << 62
+        for i, f in enumerate(freq):
+            if 0 < f <= v and i != c1:
+                v = f
+                c2 = i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for cs in codesize:
+        if cs:
+            bits[cs] += 1
+    i = 32  # limit code lengths to 16 (figure K.10)
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved codepoint
+    values = [v for cs in range(1, 33) for v in range(256) if codesize[v] == cs]
+    return bits[1:17], values
+
+
+def _quantized_coefs(planes, quants, samp, mcus_x, mcus_y):
+    """MCU-padded component planes → per-component zigzag-order
+    quantized coefficients, shape (by_total * bx_total, 64) int32
+    (one batched forward DCT per component).
+
+    Broadcast matmul, NOT einsum: the baseline encoder computes
+    `A @ block @ A.T` per block, and the progressive-vs-baseline
+    bit-equality gate needs the same float summation order — einsum
+    orders the reduction differently and flips np.rint at exact
+    half-integer quantization ties (seen in fuzzing: 18.5 vs
+    18.500000000000007)."""
+    out = []
+    for plane, quant, (hs, vs) in zip(planes, quants, samp):
+        by, bx = mcus_y * vs, mcus_x * hs
+        blocks = (
+            plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coefs = _A @ blocks @ _A.T
+        q = np.rint(coefs / quant[None, :, :]).astype(np.int32)
+        out.append(q.reshape(-1, 64)[:, _ZIGZAG])
+    return out
+
+
+# libjpeg-style successive-approximation scripts (component indexes)
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+_MAX_CORR_BITS = 937  # pending correction bits before a forced EOB flush
+
+
+def _prog_units(idxs, samp, w, h, hmax, vmax, mcus_x, mcus_y):
+    """Yield the [(ci, block_index), ...] lists per restart unit,
+    mirroring the decoder: frame MCU grid (dummy blocks included) for
+    interleaved scans, the component's own block raster otherwise."""
+    bx_total = {ci: mcus_x * samp[ci][0] for ci in idxs}
+    if len(idxs) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                yield [
+                    (
+                        ci,
+                        (my * samp[ci][1] + by) * bx_total[ci]
+                        + mx * samp[ci][0]
+                        + bx,
+                    )
+                    for ci in idxs
+                    for by in range(samp[ci][1])
+                    for bx in range(samp[ci][0])
+                ]
+    else:
+        ci = idxs[0]
+        hs, vs = samp[ci]
+        bw = -(-(-(-w * hs // hmax)) // 8)
+        bh = -(-(-(-h * vs // vmax)) // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(ci, by * bx_total[ci] + bx)]
+
+
+def _run_prog_scan(
+    scan, coefs, samp, w, h, hmax, vmax, mcus_x, mcus_y,
+    emit_sym, emit_bits, emit_rst, restart_interval,
+):
+    """Drive one progressive scan through emit callbacks. Called twice
+    per scan: once counting symbol frequencies, once writing — both
+    passes share this code so the streams cannot diverge."""
+    idxs, ss, se, ah, al = scan
+    tid_of = {ci: (0 if ci == 0 else 1) for ci in idxs}
+    preds = {ci: 0 for ci in idxs}
+    eobrun = 0
+    pending: list[int] = []
+    mcu_in_seg = 0
+
+    def flush_eob(ci):
+        nonlocal eobrun, pending
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            emit_sym(tid_of[ci], r << 4)
+            if r:
+                emit_bits(eobrun - (1 << r), r)
+            for b in pending:
+                emit_bits(b, 1)
+            eobrun = 0
+            pending = []
+
+    for unit in _prog_units(idxs, samp, w, h, hmax, vmax, mcus_x, mcus_y):
+        if restart_interval and mcu_in_seg == restart_interval:
+            if ss != 0:
+                flush_eob(idxs[0])
+            emit_rst()
+            preds = {ci: 0 for ci in idxs}
+            mcu_in_seg = 0
+        mcu_in_seg += 1
+
+        if ss == 0 and ah == 0:  # DC first
+            for ci, bi in unit:
+                v = int(coefs[ci][bi, 0]) >> al
+                size, code = _magnitude(v - preds[ci])
+                preds[ci] = v
+                emit_sym(tid_of[ci], size)
+                if size:
+                    emit_bits(code, size)
+        elif ss == 0:  # DC refine: the appended bit, no symbols
+            for ci, bi in unit:
+                emit_bits((int(coefs[ci][bi, 0]) >> al) & 1, 1)
+        elif ah == 0:  # AC first
+            ((ci, bi),) = unit
+            blk = coefs[ci][bi]
+            run = 0
+            for k in range(ss, se + 1):
+                t = int(blk[k])
+                v = abs(t) >> al
+                if v == 0:
+                    run += 1
+                    continue
+                flush_eob(ci)
+                while run > 15:
+                    emit_sym(tid_of[ci], 0xF0)
+                    run -= 16
+                size = v.bit_length()
+                code = v if t > 0 else (-v) + (1 << size) - 1
+                emit_sym(tid_of[ci], (run << 4) | size)
+                emit_bits(code, size)
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob(ci)
+        else:  # AC refine (T.81 G.1.2.3; libjpeg correction-bit buffering)
+            ((ci, bi),) = unit
+            blk = coefs[ci][bi]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                a_ = absv[k - ss]
+                if a_ == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eob(ci)
+                    emit_sym(tid_of[ci], 0xF0)
+                    r -= 16
+                    for b in br:
+                        emit_bits(b, 1)
+                    br = []
+                if a_ > 1:  # history coefficient: correction bit only
+                    br.append(a_ & 1)
+                    continue
+                flush_eob(ci)
+                emit_sym(tid_of[ci], (r << 4) | 1)
+                emit_bits(1 if int(blk[k]) > 0 else 0, 1)
+                for b in br:
+                    emit_bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF or len(pending) >= _MAX_CORR_BITS:
+                    flush_eob(ci)
+    if ss != 0:
+        flush_eob(idxs[0])
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = True,
+    restart_interval: int = 0,
+    scans: list | None = None,
+    app1: bytes | None = None,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w)/(h, w, 1) gray uint8 → progressive
+    (SOF2) JFIF bytes: successive-approximation scan script with
+    per-scan optimal Huffman tables. The quantized coefficients are
+    identical to `encode_jpeg` at the same quality/subsampling, so
+    decoding both must yield bit-equal pixels — the differential
+    correctness gate."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2 or pixels.shape[-1] == 1
+    if pixels.ndim == 3 and pixels.shape[-1] == 1:
+        pixels = pixels[..., 0]
+    h, w = pixels.shape[:2]
+    ql = _scaled_quant(_Q_LUMA, quality)
+    qc = _scaled_quant(_Q_CHROMA, quality)
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        quants = [ql]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        y = ycc[..., 0]
+        if subsample:
+            cpad = _pad_to(ycc[..., 1], 2, 2), _pad_to(ycc[..., 2], 2, 2)
+            cb = cpad[0].reshape(-1, 2, cpad[0].shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = cpad[1].reshape(-1, 2, cpad[1].shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            cb, cr = ycc[..., 1], ycc[..., 2]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        quants = [ql, qc, qc]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = [
+        _pad_to(p, mcus_y * vs * 8, mcus_x * hs * 8)[
+            : mcus_y * vs * 8, : mcus_x * hs * 8
+        ]
+        for p, (hs, vs) in zip(planes, samp)
+    ]
+    coefs = _quantized_coefs(padded, quants, samp, mcus_x, mcus_y)
+    if scans is None:
+        scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if app1 is not None:
+        out += app1
+    out += seg(0xDB, b"\x00" + ql.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    if not gray:
+        out += seg(0xDB, b"\x01" + qc.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        hs, vs = samp[i]
+        sof += struct.pack("BBB", i + 1, (hs << 4) | vs, 0 if i == 0 else 1)
+    out += seg(0xC2, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for scan in scans:
+        idxs, ss, se, ah, al = scan
+        freqs: dict[int, list[int]] = {}
+
+        def count_sym(tid, sym, _freqs=freqs):
+            _freqs.setdefault(tid, [0] * 256)[sym] += 1
+
+        _run_prog_scan(
+            scan, coefs, samp, w, h, hmax, vmax, mcus_x, mcus_y,
+            count_sym, lambda code, ln: None, lambda: None, restart_interval,
+        )
+        tcls = 0 if ss == 0 else 1
+        tables = {tid: _optimal_table(f) for tid, f in freqs.items()}
+        maps = {tid: _code_map(t) for tid, t in tables.items()}
+        writer = _BitWriter()
+        rst_idx = [0]
+
+        def emit_sym(tid, sym, _maps=maps, _writer=writer):
+            hc, hl = _maps[tid][sym]
+            _writer.write(hc, hl)
+
+        def emit_bits(code, ln, _writer=writer):
+            if ln:
+                _writer.write(code, ln)
+
+        def emit_rst(_writer=writer, _rst=rst_idx):
+            _writer.flush()
+            _writer.out += bytes([0xFF, 0xD0 + _rst[0]])
+            _rst[0] = (_rst[0] + 1) % 8
+
+        _run_prog_scan(
+            scan, coefs, samp, w, h, hmax, vmax, mcus_x, mcus_y,
+            emit_sym, emit_bits, emit_rst, restart_interval,
+        )
+        writer.flush()
+        for tid in sorted(tables):
+            bits, values = tables[tid]
+            out += seg(0xC4, bytes([(tcls << 4) | tid]) + bytes(bits) + bytes(values))
+        sos = bytes([len(idxs)])
+        for ci in idxs:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += writer.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -6,8 +6,8 @@ codecs for the self-contained formats:
 
 - images decode for real: PPM/BMP/raw (images/synth.py) plus PNG
   (all color types, Adam7), GIF (LZW, palettes, animation), and
-  baseline JPEG (media/png.py, gif.py, jpeg.py — stdlib zlib + numpy,
-  no Pillow);
+  JPEG — baseline AND progressive/SOF2 (media/png.py, gif.py,
+  jpeg.py — stdlib zlib + numpy, no Pillow);
 - audio decodes for real when the payload is WAV — PCM16 or IMA
   ADPCM compressed (format 0x11) — via media/codecs.py, numpy-only;
 - video decodes for real when the payload is YUV4MPEG2 C444

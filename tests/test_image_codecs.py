@@ -28,7 +28,12 @@ from mhtml_to_html_spark.media.gif import (
     decode_gif,
     encode_gif,
 )
-from mhtml_to_html_spark.media.jpeg import decode_jpeg, encode_jpeg
+from mhtml_to_html_spark.images.synth import synth_image
+from mhtml_to_html_spark.media.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 from mhtml_to_html_spark.media.png import decode_png, encode_png
 
 
@@ -364,11 +369,11 @@ class TestJpegHandVectors:
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x89PNG\r\n\x1a\n")
 
-    def test_progressive_rejected(self):
+    def test_lossless_sof_rejected(self):
         bad = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
         sof = bad.find(b"\xff\xc0")
-        bad[sof + 1] = 0xC2
-        with pytest.raises(ValueError, match="non-baseline"):
+        bad[sof + 1] = 0xC3  # lossless sequential: unsupported coding
+        with pytest.raises(ValueError, match="unsupported JPEG coding"):
             decode_jpeg(bytes(bad))
 
 
@@ -431,3 +436,200 @@ class TestJpegRoundTrip:
         out = decode_jpeg(data)
         assert out.shape == img.shape
         assert psnr(img, out) >= 25
+
+
+# --- progressive JPEG (SOF2) -----------------------------------------------------
+
+
+class TestJpegProgressiveHandVectors:
+    def test_dc_first_plus_refine_known_pixels(self):
+        """Hand-assembled two-scan progressive gray 8x8: DC-first at
+        Al=1 (diff=3 -> coef 6) then a DC refinement bit (-> coef 7);
+        flat quant 16 makes every pixel 128 + 7*16/8 = 142. The refine
+        scan's only byte is 0xFF, so it also pins byte unstuffing."""
+        data = (
+            b"\xff\xd8"
+            + _jpeg_seg(0xDB, b"\x00" + bytes([16] * 64))
+            + _jpeg_seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+            + _jpeg_seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2]))
+            + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+            + b"\x7f"
+            + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+            + b"\xff\x00"
+            + b"\xff\xd9"
+        )
+        out = decode_jpeg(data)
+        assert out.shape == (8, 8, 1)
+        assert np.unique(out).tolist() == [142]
+
+    def test_dc_only_progressive_without_ac_scans_decodes(self):
+        """A progressive file may legally end after DC scans: AC
+        coefficients stay zero (DC-only preview)."""
+        data = (
+            b"\xff\xd8"
+            + _jpeg_seg(0xDB, b"\x00" + bytes([16] * 64))
+            + _jpeg_seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+            + _jpeg_seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2]))
+            + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+            + b"\x7f"
+            + b"\xff\xd9"
+        )
+        out = decode_jpeg(data)
+        assert np.unique(out).tolist() == [134]  # 128 + 3*16/8
+
+    def test_mixed_dc_ac_band_rejected(self):
+        data = (
+            b"\xff\xd8"
+            + _jpeg_seg(0xDB, b"\x00" + bytes([16] * 64))
+            + _jpeg_seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+            + _jpeg_seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2]))
+            + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 5, 0x00]))
+            + b"\x7f\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="mixes DC and AC"):
+            decode_jpeg(data)
+
+    def test_multicomponent_ac_scan_rejected(self):
+        data = (
+            b"\xff\xd8"
+            + _jpeg_seg(0xDB, b"\x00" + bytes([16] * 64))
+            + _jpeg_seg(
+                0xC2, bytes([8, 0, 8, 0, 8, 3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+            )
+            + _jpeg_seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([2]))
+            + _jpeg_seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 1, 63, 0x00]))
+            + b"\x7f\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="single-component"):
+            decode_jpeg(data)
+
+    def test_progressive_without_any_scan_rejected(self):
+        data = (
+            b"\xff\xd8"
+            + _jpeg_seg(0xDB, b"\x00" + bytes([16] * 64))
+            + _jpeg_seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="no scan"):
+            decode_jpeg(data)
+
+
+class TestJpegProgressiveDifferential:
+    """Baseline and progressive encodings carry the SAME quantized
+    coefficients, so their decodes must be bit-equal — a correctness
+    gate on every scan kind without trusting either encoder alone."""
+
+    @pytest.mark.parametrize(
+        "seed,w,h,subsample,quality",
+        [
+            (1, 24, 16, True, 85),
+            (2, 17, 13, False, 85),
+            (3, 40, 33, True, 85),
+            (8, 33, 29, True, 5),
+            (9, 21, 19, False, 100),
+        ],
+    )
+    def test_bit_equal_to_baseline(self, seed, w, h, subsample, quality):
+        img = synth_image(seed, w, h)
+        base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=quality, subsample=subsample)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_grayscale(self):
+        img = synth_image(5, 30, 22)[..., 0]
+        base = decode_jpeg(encode_jpeg(img, quality=70))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=70))
+        assert np.array_equal(base, prog)
+
+    def test_restart_intervals_inside_every_scan_kind(self):
+        img = synth_image(6, 50, 38)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, subsample=True, restart_interval=3)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_flat_image_exercises_eobn_runs(self):
+        """An all-flat image makes every AC band empty: EOB runs span
+        whole scans (EOBn symbols with r > 0 plus extra bits)."""
+        flat = np.full((64, 80, 3), 128, np.uint8)
+        base = decode_jpeg(encode_jpeg(flat, quality=85))
+        prog = decode_jpeg(encode_jpeg_progressive(flat, quality=85))
+        assert np.array_equal(base, prog)
+
+    def test_noise_exercises_zrl_and_dense_refinement(self):
+        rng = np.random.default_rng(7)
+        noise = rng.integers(0, 256, (41, 57, 3), np.uint8)
+        base = decode_jpeg(encode_jpeg(noise, quality=95, subsample=False))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(noise, quality=95, subsample=False)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_deep_successive_approximation_script(self):
+        """Non-interleaved DC scans, Al=3 AC first pass, chained
+        refinements 3->2->1->0, two DC refinement passes."""
+        script = [
+            ((0,), 0, 0, 0, 2), ((1,), 0, 0, 0, 2), ((2,), 0, 0, 0, 2),
+            ((0,), 1, 63, 0, 3), ((1,), 1, 63, 0, 3), ((2,), 1, 63, 0, 3),
+            ((0,), 0, 0, 2, 1), ((1,), 0, 0, 2, 1), ((2,), 0, 0, 2, 1),
+            ((0,), 0, 0, 1, 0), ((1,), 0, 0, 1, 0), ((2,), 0, 0, 1, 0),
+            ((0,), 1, 63, 3, 2), ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+            ((1,), 1, 63, 3, 2), ((1,), 1, 63, 2, 1), ((1,), 1, 63, 1, 0),
+            ((2,), 1, 63, 3, 2), ((2,), 1, 63, 2, 1), ((2,), 1, 63, 1, 0),
+        ]
+        for subsample in (True, False):
+            img = synth_image(11, 37, 26)
+            base = decode_jpeg(encode_jpeg(img, quality=75, subsample=subsample))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, quality=75, subsample=subsample, scans=script
+                )
+            )
+            assert np.array_equal(base, prog)
+
+    def test_split_spectral_bands_with_restarts(self):
+        script = [
+            ((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 2, 0, 1), ((0,), 3, 9, 0, 1), ((0,), 10, 63, 0, 1),
+            ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((0,), 1, 2, 1, 0), ((0,), 3, 9, 1, 0), ((0,), 10, 63, 1, 0),
+        ]
+        img = synth_image(12, 44, 31)
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, scans=script, restart_interval=2)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_truncated_progressive_raises(self):
+        img = synth_image(13, 25, 18)
+        data = encode_jpeg_progressive(img, quality=85)
+        with pytest.raises(ValueError):
+            decode_jpeg(data[: len(data) // 2] + b"\xff\xd9")
+
+    def test_half_integer_quantization_tie(self):
+        """Regression: the progressive encoder's batched DCT must use
+        broadcast matmul, not einsum — einsum's reduction order
+        produced 18.5 vs matmul's 18.500000000000007 at an exact
+        half-integer quantization tie, flipping np.rint and breaking
+        the bit-equality gate (found by fuzzing; this replays the
+        failing draw: 37x20 gray noise at q86)."""
+        rng = np.random.default_rng(123)
+        img = None
+        for trial in range(20):
+            w = int(rng.integers(1, 70))
+            h = int(rng.integers(1, 70))
+            q = int(rng.integers(1, 101))
+            sub = bool(rng.integers(0, 2))
+            gray = bool(rng.integers(0, 4) == 0)
+            img = rng.integers(0, 256, (h, w) if gray else (h, w, 3), np.uint8)
+            int(rng.choice([0, 1, 3]))
+            if trial == 19:
+                assert (w, h, q, gray) == (37, 20, 86, True)
+        base = decode_jpeg(encode_jpeg(img, quality=86, subsample=False))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=86, subsample=False))
+        assert np.array_equal(base, prog)

@@ -138,3 +138,46 @@ def test_compressed_image_parts_extracted(spark):
     # JPEG is lossy: the phash must match a direct decode of the bytes
     assert rows["c"]["fmt"] == "jpeg"
     assert rows["c"]["phash"] == phash64(_to_rgb3(_decode_image(jpg_bytes)))
+
+
+@pytest.mark.spark
+def test_progressive_jpeg_part_extracted(spark):
+    """A progressive (SOF2) JPEG part — the dominant encoding for
+    large web JPEGs — flows split -> extract identically to baseline:
+    sniffed as jpeg, dims from the frame header, phash over the full
+    multi-scan decode."""
+    from tests.helpers.mhtml_builder import encode_base64_body, mhtml_doc, part
+    from mhtml_to_html_spark.images.synth import phash64
+    from mhtml_to_html_spark.media import encode_jpeg_progressive
+    from mhtml_to_html_spark.operators.multimodal import _decode_image, _to_rgb3
+
+    jpg_bytes = encode_jpeg_progressive(synth_image(304, 28, 20), quality=90)
+    doc = mhtml_doc(
+        parts=[
+            part(
+                content_type="text/html",
+                location="https://example.com/",
+                body='<img src="p.jpg">',
+            ),
+            part(
+                content_type="image/jpeg",
+                transfer_encoding="base64",
+                location="https://example.com/p.jpg",
+                body=encode_base64_body(jpg_bytes),
+            ),
+            part(
+                content_type="text/plain",
+                location="https://example.com/p.txt",
+                body="a progressive caption",
+            ),
+        ]
+    )
+    archives = spark.createDataFrame(
+        [("arc_prog", bytearray(doc))], "archive_id string, content binary"
+    )
+    rows = extract_images(split_archives(archives)).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert (row["image_id"], row["fmt"], row["w"], row["h"]) == ("p", "jpeg", 28, 20)
+    assert row["caption"] == "a progressive caption"
+    assert row["phash"] == phash64(_to_rgb3(_decode_image(jpg_bytes)))
