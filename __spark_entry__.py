@@ -1676,6 +1676,75 @@ def _image_codecs_values() -> str:
     ) + " ORDER BY media_id"
 
 
+def _image_probe_corpus_rows():
+    """Codec corpus + WebP containers (all three layouts) + payloads
+    the header probe must reject — the image_probe oracle corpus."""
+    from mhtml_to_html_spark.media.probe import build_webp_container
+
+    rows = list(_image_codec_corpus_rows())
+    rows += [
+        ("webp_vp8", build_webp_container("VP8 ", 320, 240)),
+        ("webp_vp8l", build_webp_container("VP8L", 41, 29)),
+        ("webp_vp8x", build_webp_container("VP8X", 100000, 50000)),
+        ("junk_text", b"not an image at all"),
+        ("junk_sofless_jpeg", b"\xff\xd8\xff\xd9"),
+    ]
+    return rows
+
+
+def q_image_probe(spark, sf_dir):
+    """Header-only metadata audit: image_meta (media/probe.py) over
+    the codec corpus + WebP containers + junk — fmt/dims from
+    container headers alone, no pixel decode anywhere in the plan;
+    NULLs for unrecognized payloads. The 100 TB metadata sweep this
+    pins is I/O-bound (tens of header bytes per image), which is the
+    whole point of probing instead of decoding."""
+    from mhtml_to_html_spark.operators.multimodal import image_meta
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(data)) for mid, data in _image_probe_corpus_rows()],
+        "media_id string, bytes binary",
+    )
+    return (
+        image_meta(media)
+        .select(
+            "media_id",
+            "fmt",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            "payload_bytes",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _image_probe_values() -> str:
+    from mhtml_to_html_spark.media.probe import probe_image
+
+    rows = []
+    for mid, data in _image_probe_corpus_rows():
+        p = probe_image(data)
+        rows.append(
+            {
+                "media_id": mid,
+                "fmt": p[0] if p else None,
+                "width": p[1] if p else None,
+                "height": p[2] if p else None,
+                "payload_bytes": len(data),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "fmt": "VARCHAR",
+            "width": "BIGINT",
+            "height": "BIGINT",
+            "payload_bytes": "BIGINT",
+        },
+    ) + " ORDER BY media_id"
+
+
 def _image_quality_corpus_rows():
     """One image per admission outcome: a keeper, then one payload per
     reject reason (too_small, bad_aspect, low_entropy, blurry,
@@ -3002,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "image_exif": q_image_exif,
         "image_phash_dct": q_image_phash_dct,
+        "image_probe": q_image_probe,
         "stream_windowed": q_stream_windowed,
         # rotated in: driver-unchecked in r2-r4 (judge-replayed only)
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
@@ -3498,6 +3568,7 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "image_quality": _image_quality_values(),
         "image_exif": _image_exif_values(),
         "image_phash_dct": _image_phash_dct_values(),
+        "image_probe": _image_probe_values(),
         "stream_windowed": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

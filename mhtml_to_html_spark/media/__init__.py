@@ -9,3 +9,4 @@ from .codecs import (  # noqa: F401
 from .gif import decode_gif, encode_gif  # noqa: F401
 from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive  # noqa: F401
 from .png import decode_png, encode_png  # noqa: F401
+from .probe import probe_image  # noqa: F401

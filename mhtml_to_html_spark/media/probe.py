@@ -1,0 +1,172 @@
+"""Header-only image metadata probe — format + dimensions from the
+container header, no pixel decode.
+
+Scale rationale: curation and admission at 100 TB often need only
+(fmt, w, h) — size gates, aspect-ratio gates, icon/thumbnail
+detection, dimension-bucketed partitioning. A pixel decode reads and
+entropy-decodes every byte of every image; this probe reads tens of
+bytes. `operators.multimodal.image_meta` runs it as the mapInPandas
+kernel so a metadata-only pass over an image corpus is I/O-bound, not
+CPU-bound.
+
+WebP is probe-only: all three container layouts carry dimensions at
+fixed positions —
+
+- ``VP8 `` (lossy): 3-byte frame tag, 3-byte start code 9D 01 2A,
+  then 14-bit width and height in two little-endian uint16s;
+- ``VP8L`` (lossless): signature byte 0x2F, then width-1 and
+  height-1 as consecutive 14-bit fields of a little-endian uint32;
+- ``VP8X`` (extended): 24-bit little-endian canvas width-1 at payload
+  offset 4 and height-1 at offset 7
+
+— so a crawler can size-gate WebP payloads even though pixel decode
+would need libwebp (the documented codec seam in
+operators/multimodal.py).
+
+Reference parity: the reference carries image parts opaquely and
+never sizes them (lib/convert.js data-URI inlining); the probe exists
+for the engine's image axis.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# JPEG markers that carry frame dimensions (SOF0-15 minus DHT/JPG/DAC)
+_JPEG_SOF = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def _probe_jpeg(data: bytes) -> tuple[int, int] | None:
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before any SOF
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if pos + 2 > n:
+            return None
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        if marker in _JPEG_SOF:
+            if pos + 7 > n:
+                return None
+            h, w = struct.unpack_from(">HH", data, pos + 3)
+            return w, h
+        pos += seglen
+    return None
+
+
+def _probe_ppm(data: bytes) -> tuple[int, int] | None:
+    fields: list[bytes] = []
+    pos = 2
+    n = len(data)
+    while len(fields) < 2:
+        while pos < n and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < n and not data[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            return None
+        fields.append(data[start:pos])
+    try:
+        return int(fields[0]), int(fields[1])
+    except ValueError:
+        return None
+
+
+def _probe_webp(data: bytes) -> tuple[int, int] | None:
+    if len(data) < 30:
+        return None
+    fourcc = data[12:16]
+    if fourcc == b"VP8 ":
+        # payload at 20: frame tag(3) + start code 9D 01 2A + dims
+        if data[23:26] != b"\x9d\x01\x2a":
+            return None
+        w, h = struct.unpack_from("<HH", data, 26)
+        return (w & 0x3FFF), (h & 0x3FFF)
+    if fourcc == b"VP8L":
+        if data[20] != 0x2F:
+            return None
+        bits = struct.unpack_from("<I", data, 21)[0]
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    if fourcc == b"VP8X":
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return w, h
+    return None
+
+
+def probe_image(data: bytes) -> tuple[str, int, int] | None:
+    """(fmt, width, height) from container headers alone, or None when
+    the payload is not a recognized image container. Never decodes
+    pixels; reads O(header) bytes (JPEG walks marker segments to the
+    first SOF, skipping entropy-coded data by declared length)."""
+    if len(data) < 4:
+        return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(data) < 24 or data[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack_from(">II", data, 16)
+        return "png", w, h
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) < 10:
+            return None
+        w, h = struct.unpack_from("<HH", data, 6)
+        return "gif", w, h
+    if data[:2] == b"\xff\xd8":
+        dims = _probe_jpeg(data)
+        return ("jpeg", dims[0], dims[1]) if dims else None
+    if data[:2] == b"P6":
+        dims = _probe_ppm(data)
+        return ("ppm", dims[0], dims[1]) if dims else None
+    if data[:2] == b"BM":
+        if len(data) < 26:
+            return None
+        w, h = struct.unpack_from("<ii", data, 18)
+        return "bmp", abs(w), abs(h)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        dims = _probe_webp(data)
+        return ("webp", dims[0], dims[1]) if dims else None
+    # the synthetic raw format: <HH dims + exactly w*h*3 RGB bytes
+    w, h = struct.unpack_from("<HH", data, 0)
+    if w > 0 and h > 0 and len(data) == 4 + w * h * 3:
+        return "raw", w, h
+    return None
+
+
+def build_webp_container(kind: str, w: int, h: int) -> bytes:
+    """Minimal WebP container carrying only the dimension-bearing
+    header for the given chunk kind ('VP8 ', 'VP8L', 'VP8X') — fixture
+    builder for tests and oracle corpora. The payload past the header
+    is zeros (not decodable); the probe never reads past the header,
+    which is the point."""
+    if kind == "VP8 ":
+        payload = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 10
+        )
+    elif kind == "VP8L":
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+    elif kind == "VP8X":
+        payload = (
+            b"\x00\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+    else:
+        raise ValueError(f"unknown WebP chunk kind {kind!r}")
+    chunk = kind.encode("ascii") + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

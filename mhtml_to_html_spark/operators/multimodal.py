@@ -118,6 +118,10 @@ def _decode_image(data: bytes):
         from ..media.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # dimensions are probe-able (media/probe.py); pixel decode
+        # needs libwebp — the documented codec seam
+        raise NotImplementedError("WebP pixel decode needs libwebp")
     import struct
 
     import numpy as np
@@ -244,6 +248,8 @@ def sniff_format(data: bytes) -> str:
     for magic, fmt in _MAGIC_FMT:
         if data[: len(magic)] == magic:
             return fmt
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return "raw"
 
 
@@ -293,6 +299,45 @@ def decode_images(media: DataFrame, orient: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+META_SCHEMA = "media_id string, fmt string, width int, height int, payload_bytes long"
+
+
+def image_meta(media: DataFrame) -> DataFrame:
+    """Header-only metadata pass: (fmt, width, height, payload_bytes)
+    from container headers via media/probe.py — no pixel decode, so a
+    metadata sweep over an image corpus is I/O-bound, not CPU-bound
+    (size gates, aspect gates, icon detection at 100 TB without paying
+    for entropy decode). fmt/dims are NULL for unrecognized payloads.
+    Covers WebP (VP8/VP8L/VP8X) even though pixel decode for WebP is
+    behind the libwebp seam. Embarrassingly parallel: input-split
+    partitioning, no shuffle."""
+
+    def run(batches):
+        import pandas as pd
+
+        from ..media.probe import probe_image
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(data)
+                p = probe_image(data)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "fmt": p[0] if p else None,
+                        "width": p[1] if p else None,
+                        "height": p[2] if p else None,
+                        "payload_bytes": len(data),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fmt", "width", "height", "payload_bytes"]
+            )
+
+    return media.select("media_id", "bytes").mapInPandas(run, schema=META_SCHEMA)
 
 
 QUALITY_SCHEMA = (

@@ -1,0 +1,157 @@
+"""Header-only image metadata probe (media/probe.py + image_meta).
+
+The probe must agree with the full decoders on every encodable format
+(including progressive JPEG and EXIF-bearing files), size WebP's
+three container layouts without any WebP decoder, and return None —
+never garbage — for unrecognized payloads."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from mhtml_to_html_spark.images.synth import encode_image, synth_image
+from mhtml_to_html_spark.media import (
+    encode_gif,
+    encode_jpeg,
+    encode_jpeg_progressive,
+    encode_png,
+    probe_image,
+)
+
+
+def webp_vp8(w: int, h: int) -> bytes:
+    payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 10
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_vp8l(w: int, h: int) -> bytes:
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_vp8x(w: int, h: int) -> bytes:
+    payload = (
+        b"\x00\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+class TestProbeMatchesDecoders:
+    @pytest.mark.parametrize("w,h", [(19, 13), (1, 1), (64, 48), (17, 300)])
+    def test_png_gif_bmp_ppm_raw(self, w, h):
+        img = synth_image(1, w, h)
+        pal = img // 64 * 64
+        assert probe_image(encode_png(img)) == ("png", w, h)
+        assert probe_image(encode_gif([pal])) == ("gif", w, h)
+        assert probe_image(encode_image(img, "bmp")) == ("bmp", w, h)
+        assert probe_image(encode_image(img, "ppm")) == ("ppm", w, h)
+        assert probe_image(encode_image(img, "raw")) == ("raw", w, h)
+        assert probe_image(encode_image(img, "lossy")) == ("ppm", w, h)
+
+    @pytest.mark.parametrize("w,h", [(24, 16), (1, 1), (33, 29)])
+    def test_jpeg_baseline_and_progressive(self, w, h):
+        img = synth_image(2, w, h)
+        assert probe_image(encode_jpeg(img, quality=85)) == ("jpeg", w, h)
+        assert probe_image(encode_jpeg_progressive(img, quality=85)) == ("jpeg", w, h)
+
+    def test_jpeg_probe_walks_past_exif(self):
+        from mhtml_to_html_spark.media.exif import build_exif_app1
+
+        img = synth_image(3, 21, 17)
+        data = encode_jpeg(img, quality=90, app1=build_exif_app1(orientation=6))
+        assert probe_image(data) == ("jpeg", 21, 17)
+
+    def test_ppm_probe_skips_comments(self):
+        data = b"P6\n# a comment\n12 7\n255\n" + bytes(12 * 7 * 3)
+        assert probe_image(data) == ("ppm", 12, 7)
+
+
+class TestWebpProbe:
+    @pytest.mark.parametrize("builder", [webp_vp8, webp_vp8l, webp_vp8x])
+    @pytest.mark.parametrize("w,h", [(1, 1), (320, 240), (16383, 16383)])
+    def test_all_three_layouts(self, builder, w, h):
+        if builder is webp_vp8x and (w, h) == (16383, 16383):
+            w, h = 100000, 50000  # VP8X canvas goes to 2^24
+        assert probe_image(builder(w, h)) == ("webp", w, h)
+
+    def test_bad_vp8_start_code_is_none(self):
+        data = bytearray(webp_vp8(10, 10))
+        data[23] = 0x00
+        assert probe_image(bytes(data)) is None
+
+    def test_bad_vp8l_signature_is_none(self):
+        data = bytearray(webp_vp8l(10, 10))
+        data[20] = 0x00
+        assert probe_image(bytes(data)) is None
+
+    def test_sniff_format_webp(self):
+        from mhtml_to_html_spark.operators.multimodal import sniff_format
+
+        assert sniff_format(webp_vp8l(4, 4)) == "webp"
+
+    def test_decode_image_webp_is_explicit_seam(self):
+        from mhtml_to_html_spark.operators.multimodal import _decode_image
+
+        with pytest.raises(NotImplementedError, match="libwebp"):
+            _decode_image(webp_vp8(8, 8))
+
+
+class TestProbeRejectsGarbage:
+    @pytest.mark.parametrize(
+        "data",
+        [
+            b"",
+            b"\x00",
+            b"not an image at all",
+            b"\x89PNG\r\n\x1a\nXXXXIDAT",  # PNG sig but first chunk not IHDR
+            b"\xff\xd8\xff\xd9",  # JPEG with no SOF
+            b"RIFF\x00\x00\x00\x00WAVEfmt ",  # RIFF but not WEBP
+            b"P6\n999",  # PPM header truncated mid-field
+        ],
+    )
+    def test_none_never_garbage(self, data):
+        assert probe_image(data) is None
+
+    def test_raw_requires_exact_length(self):
+        img = synth_image(4, 6, 5)
+        data = encode_image(img, "raw")
+        assert probe_image(data) == ("raw", 6, 5)
+        assert probe_image(data + b"x") is None
+        assert probe_image(data[:-1]) is None
+
+
+@pytest.mark.spark
+def test_image_meta_spark(spark):
+    """image_meta over a mixed corpus: header-derived dims for every
+    recognized format (WebP included), NULLs for junk, byte counts
+    always present — and no pixel decode anywhere in the plan."""
+    from mhtml_to_html_spark.operators.multimodal import image_meta
+
+    img = synth_image(5, 40, 30)
+    rows = [
+        ("png", encode_png(img)),
+        ("jpg", encode_jpeg(img, quality=85)),
+        ("jprog", encode_jpeg_progressive(img, quality=85)),
+        ("webp", webp_vp8l(40, 30)),
+        ("junk", b"\x01\x02\x03\x04 junk payload"),
+    ]
+    media = spark.createDataFrame(
+        [(m, bytearray(d)) for m, d in rows], "media_id string, bytes binary"
+    )
+    got = {r["media_id"]: r for r in image_meta(media).collect()}
+    for mid in ("png", "jpg", "jprog", "webp"):
+        assert (got[mid]["fmt"] or mid).startswith(got[mid]["fmt"][:3])
+        assert (got[mid]["width"], got[mid]["height"]) == (40, 30)
+    assert got["webp"]["fmt"] == "webp"
+    assert got["junk"]["fmt"] is None and got["junk"]["width"] is None
+    for mid, data in rows:
+        assert got[mid]["payload_bytes"] == len(data)
