@@ -1590,6 +1590,7 @@ def _image_codec_corpus_rows():
         ("jpg_420_q80", encode_jpeg(synth_image(83, 22, 18), quality=80, subsample=True)),
         ("jpg_gray", encode_jpeg(synth_image(84, 16, 12)[..., 0], quality=90)),
         ("jpg_restart", encode_jpeg(synth_image(85, 32, 24), quality=85, restart_interval=2)),
+        ("jpg_422", encode_jpeg(synth_image(94, 27, 18), quality=85, subsample="422")),
         ("jpg_prog", encode_jpeg_progressive(synth_image(89, 26, 19), quality=85)),
         (
             "jpg_prog_444",

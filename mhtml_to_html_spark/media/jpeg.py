@@ -855,6 +855,41 @@ def _pad_to(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
+def _plane_setup(pixels: np.ndarray, quality: int, subsample):
+    """Shared encoder front end: pixels → (component planes, sampling
+    factors, quant tables, gray flag, h, w). `subsample` accepts the
+    legacy bools (True = 4:2:0, False = 4:4:4) or the explicit mode
+    strings '444' / '422' / '420'."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2 or pixels.shape[-1] == 1
+    if pixels.ndim == 3 and pixels.shape[-1] == 1:
+        pixels = pixels[..., 0]
+    h, w = pixels.shape[:2]
+    ql = _scaled_quant(_Q_LUMA, quality)
+    qc = _scaled_quant(_Q_CHROMA, quality)
+    if gray:
+        return [pixels.astype(np.float64)], [(1, 1)], [ql], True, h, w
+    mode = {True: "420", False: "444"}.get(subsample, subsample)
+    ycc = _rgb_to_ycbcr(pixels)
+    y = ycc[..., 0]
+    if mode == "420":
+        cpad = _pad_to(ycc[..., 1], 2, 2), _pad_to(ycc[..., 2], 2, 2)
+        cb = cpad[0].reshape(-1, 2, cpad[0].shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = cpad[1].reshape(-1, 2, cpad[1].shape[1] // 2, 2).mean(axis=(1, 3))
+        samp = [(2, 2), (1, 1), (1, 1)]
+    elif mode == "422":
+        cpad = _pad_to(ycc[..., 1], 1, 2), _pad_to(ycc[..., 2], 1, 2)
+        cb = cpad[0].reshape(cpad[0].shape[0], -1, 2).mean(axis=2)
+        cr = cpad[1].reshape(cpad[1].shape[0], -1, 2).mean(axis=2)
+        samp = [(2, 1), (1, 1), (1, 1)]
+    elif mode == "444":
+        cb, cr = ycc[..., 1], ycc[..., 2]
+        samp = [(1, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unknown subsampling mode {subsample!r}")
+    return [y, cb, cr], samp, [ql, qc, qc], False, h, w
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 85,
@@ -864,35 +899,14 @@ def encode_jpeg(
 ) -> bytes:
     """(h, w, 3) RGB or (h, w)/(h, w, 1) gray uint8 → baseline JFIF bytes.
 
-    subsample=True writes 4:2:0 (2x2 luma blocks per MCU), else 4:4:4.
-    restart_interval > 0 writes a DRI segment and RSTn markers every
-    that many MCUs (exercises the decoder's resync path).
+    subsample: True = 4:2:0, False = 4:4:4, or the explicit strings
+    '444' / '422' / '420'. restart_interval > 0 writes a DRI segment
+    and RSTn markers every that many MCUs (exercises the decoder's
+    resync path).
     """
-    pixels = np.asarray(pixels, dtype=np.uint8)
-    gray = pixels.ndim == 2 or pixels.shape[-1] == 1
-    if pixels.ndim == 3 and pixels.shape[-1] == 1:
-        pixels = pixels[..., 0]
-    h, w = pixels.shape[:2]
-    ql = _scaled_quant(_Q_LUMA, quality)
-    qc = _scaled_quant(_Q_CHROMA, quality)
-
-    if gray:
-        planes = [pixels.astype(np.float64)]
-        samp = [(1, 1)]
-        quants = [ql]
-    else:
-        ycc = _rgb_to_ycbcr(pixels)
-        y = ycc[..., 0]
-        if subsample:
-            cpad = _pad_to(ycc[..., 1], 2, 2), _pad_to(ycc[..., 2], 2, 2)
-            cb = cpad[0].reshape(-1, 2, cpad[0].shape[1] // 2, 2).mean(axis=(1, 3))
-            cr = cpad[1].reshape(-1, 2, cpad[1].shape[1] // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            cb, cr = ycc[..., 1], ycc[..., 2]
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
-        quants = [ql, qc, qc]
+    planes, samp, quants, gray, h, w = _plane_setup(pixels, quality, subsample)
+    ql = quants[0]
+    qc = quants[1] if not gray else None
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -1227,32 +1241,11 @@ def encode_jpeg_progressive(
     per-scan optimal Huffman tables. The quantized coefficients are
     identical to `encode_jpeg` at the same quality/subsampling, so
     decoding both must yield bit-equal pixels — the differential
-    correctness gate."""
-    pixels = np.asarray(pixels, dtype=np.uint8)
-    gray = pixels.ndim == 2 or pixels.shape[-1] == 1
-    if pixels.ndim == 3 and pixels.shape[-1] == 1:
-        pixels = pixels[..., 0]
-    h, w = pixels.shape[:2]
-    ql = _scaled_quant(_Q_LUMA, quality)
-    qc = _scaled_quant(_Q_CHROMA, quality)
-
-    if gray:
-        planes = [pixels.astype(np.float64)]
-        samp = [(1, 1)]
-        quants = [ql]
-    else:
-        ycc = _rgb_to_ycbcr(pixels)
-        y = ycc[..., 0]
-        if subsample:
-            cpad = _pad_to(ycc[..., 1], 2, 2), _pad_to(ycc[..., 2], 2, 2)
-            cb = cpad[0].reshape(-1, 2, cpad[0].shape[1] // 2, 2).mean(axis=(1, 3))
-            cr = cpad[1].reshape(-1, 2, cpad[1].shape[1] // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            cb, cr = ycc[..., 1], ycc[..., 2]
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
-        quants = [ql, qc, qc]
+    correctness gate. subsample accepts the same True/False/'444'/
+    '422'/'420' modes as `encode_jpeg`."""
+    planes, samp, quants, gray, h, w = _plane_setup(pixels, quality, subsample)
+    ql = quants[0]
+    qc = quants[1] if not gray else None
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)

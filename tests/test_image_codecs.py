@@ -633,3 +633,21 @@ class TestJpegProgressiveDifferential:
         base = decode_jpeg(encode_jpeg(img, quality=86, subsample=False))
         prog = decode_jpeg(encode_jpeg_progressive(img, quality=86, subsample=False))
         assert np.array_equal(base, prog)
+
+    @pytest.mark.parametrize("mode", ["444", "422", "420"])
+    def test_explicit_subsampling_modes(self, mode):
+        """4:2:2 (2x1 luma sampling) exercises the decoder's
+        rectangular-MCU path that neither bool mode reaches."""
+        img = synth_image(21, 45, 34)
+        base = decode_jpeg(encode_jpeg(img, quality=88, subsample=mode))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=88, subsample=mode))
+        assert np.array_equal(base, prog)
+        assert base.shape == (34, 45, 3)
+
+    def test_422_odd_width_with_restarts(self):
+        img = synth_image(22, 31, 17)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample="422", restart_interval=2))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, subsample="422", restart_interval=3)
+        )
+        assert np.array_equal(base, prog)
