@@ -1690,6 +1690,16 @@ def _image_probe_corpus_rows():
         ("junk_text", b"not an image at all"),
         ("junk_sofless_jpeg", b"\xff\xd8\xff\xd9"),
     ]
+    from mhtml_to_html_spark.images.synth import synth_image
+    from mhtml_to_html_spark.media import encode_jpeg
+    from mhtml_to_html_spark.media.exif import build_exif_app1
+
+    rows.append(
+        (
+            "jpg_exif_rot",
+            encode_jpeg(synth_image(95, 14, 11), quality=90, app1=build_exif_app1(orientation=6)),
+        )
+    )
     return rows
 
 
@@ -1713,6 +1723,7 @@ def q_image_probe(spark, sf_dir):
             "fmt",
             F.col("width").cast("long").alias("width"),
             F.col("height").cast("long").alias("height"),
+            F.col("orientation").cast("long").alias("orientation"),
             "payload_bytes",
         )
         .orderBy("media_id")
@@ -1720,17 +1731,22 @@ def q_image_probe(spark, sf_dir):
 
 
 def _image_probe_values() -> str:
+    from mhtml_to_html_spark.media.exif import parse_exif
     from mhtml_to_html_spark.media.probe import probe_image
 
     rows = []
     for mid, data in _image_probe_corpus_rows():
         p = probe_image(data)
+        orient = None
+        if p is not None and p[0] == "jpeg":
+            orient = parse_exif(data).get("orientation")
         rows.append(
             {
                 "media_id": mid,
                 "fmt": p[0] if p else None,
                 "width": p[1] if p else None,
                 "height": p[2] if p else None,
+                "orientation": orient,
                 "payload_bytes": len(data),
             }
         )
@@ -1741,6 +1757,7 @@ def _image_probe_values() -> str:
             "fmt": "VARCHAR",
             "width": "BIGINT",
             "height": "BIGINT",
+            "orientation": "BIGINT",
             "payload_bytes": "BIGINT",
         },
     ) + " ORDER BY media_id"

@@ -301,22 +301,28 @@ def decode_images(media: DataFrame, orient: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
-META_SCHEMA = "media_id string, fmt string, width int, height int, payload_bytes long"
+META_SCHEMA = (
+    "media_id string, fmt string, width int, height int, "
+    "orientation int, payload_bytes long"
+)
 
 
 def image_meta(media: DataFrame) -> DataFrame:
-    """Header-only metadata pass: (fmt, width, height, payload_bytes)
-    from container headers via media/probe.py — no pixel decode, so a
-    metadata sweep over an image corpus is I/O-bound, not CPU-bound
-    (size gates, aspect gates, icon detection at 100 TB without paying
-    for entropy decode). fmt/dims are NULL for unrecognized payloads.
-    Covers WebP (VP8/VP8L/VP8X) even though pixel decode for WebP is
-    behind the libwebp seam. Embarrassingly parallel: input-split
-    partitioning, no shuffle."""
+    """Header-only metadata pass: (fmt, width, height, orientation,
+    payload_bytes) from container headers via media/probe.py — no
+    pixel decode, so a metadata sweep over an image corpus is
+    I/O-bound, not CPU-bound (size gates, aspect gates, icon
+    detection, orientation-aware dedup routing at 100 TB without
+    paying for entropy decode). fmt/dims are NULL for unrecognized
+    payloads; orientation is the EXIF tag for JPEGs that carry one
+    (APP1 walk — still header-only). Covers WebP (VP8/VP8L/VP8X) even
+    though pixel decode for WebP is behind the libwebp seam.
+    Embarrassingly parallel: input-split partitioning, no shuffle."""
 
     def run(batches):
         import pandas as pd
 
+        from ..media.exif import parse_exif
         from ..media.probe import probe_image
 
         for pdf in batches:
@@ -324,17 +330,29 @@ def image_meta(media: DataFrame) -> DataFrame:
             for mid, data in zip(pdf["media_id"], pdf["bytes"]):
                 data = bytes(data)
                 p = probe_image(data)
+                orient = None
+                if p is not None and p[0] == "jpeg":
+                    orient = parse_exif(data).get("orientation")
                 rows.append(
                     {
                         "media_id": mid,
                         "fmt": p[0] if p else None,
                         "width": p[1] if p else None,
                         "height": p[2] if p else None,
+                        "orientation": orient,
                         "payload_bytes": len(data),
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["media_id", "fmt", "width", "height", "payload_bytes"]
+                rows,
+                columns=[
+                    "media_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "orientation",
+                    "payload_bytes",
+                ],
             )
 
     return media.select("media_id", "bytes").mapInPandas(run, schema=META_SCHEMA)

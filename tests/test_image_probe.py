@@ -155,3 +155,25 @@ def test_image_meta_spark(spark):
     assert got["junk"]["fmt"] is None and got["junk"]["width"] is None
     for mid, data in rows:
         assert got[mid]["payload_bytes"] == len(data)
+
+
+@pytest.mark.spark
+def test_image_meta_orientation(spark):
+    """EXIF orientation surfaces in the metadata pass (APP1 walk is
+    header-only); non-EXIF and non-JPEG rows stay NULL."""
+    from mhtml_to_html_spark.media.exif import build_exif_app1
+    from mhtml_to_html_spark.operators.multimodal import image_meta
+
+    img = synth_image(6, 12, 9)
+    rows = [
+        ("plain", encode_jpeg(img, quality=90)),
+        ("rot6", encode_jpeg(img, quality=90, app1=build_exif_app1(orientation=6))),
+        ("png", encode_png(img)),
+    ]
+    media = spark.createDataFrame(
+        [(m, bytearray(d)) for m, d in rows], "media_id string, bytes binary"
+    )
+    got = {r["media_id"]: r for r in image_meta(media).collect()}
+    assert got["plain"]["orientation"] is None
+    assert got["rot6"]["orientation"] == 6
+    assert got["png"]["orientation"] is None
