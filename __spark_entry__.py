@@ -1563,7 +1563,10 @@ def _image_codec_corpus_rows():
 
     from mhtml_to_html_spark.images.synth import encode_image, synth_image
     from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
-    from mhtml_to_html_spark.media.jpeg import encode_jpeg_progressive
+    from mhtml_to_html_spark.media.jpeg import (
+        encode_jpeg_multiscan,
+        encode_jpeg_progressive,
+    )
 
     def chan(i, c, w=19, h=13):
         rgb = synth_image(70 + i, w, h)
@@ -1591,6 +1594,7 @@ def _image_codec_corpus_rows():
         ("jpg_gray", encode_jpeg(synth_image(84, 16, 12)[..., 0], quality=90)),
         ("jpg_restart", encode_jpeg(synth_image(85, 32, 24), quality=85, restart_interval=2)),
         ("jpg_422", encode_jpeg(synth_image(94, 27, 18), quality=85, subsample="422")),
+        ("jpg_multiscan", encode_jpeg_multiscan(synth_image(96, 25, 20), quality=85)),
         ("jpg_prog", encode_jpeg_progressive(synth_image(89, 26, 19), quality=85)),
         (
             "jpg_prog_444",

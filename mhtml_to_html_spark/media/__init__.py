@@ -7,6 +7,11 @@ from .codecs import (  # noqa: F401
     synth_video,
 )
 from .gif import decode_gif, encode_gif  # noqa: F401
-from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive  # noqa: F401
+from .jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_multiscan,
+    encode_jpeg_progressive,
+)
 from .png import decode_png, encode_png  # noqa: F401
 from .probe import probe_image  # noqa: F401

@@ -310,19 +310,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             frame = (h, w, comps)
             if marker == 0xC2:
                 progressive = True
-                hmax = max(c[1] for c in comps)
-                vmax = max(c[2] for c in comps)
-                if hmax > 2 or vmax > 2:
-                    raise ValueError("sampling factors above 2x2 unsupported")
-                mcus_x = -(-w // (8 * hmax))
-                mcus_y = -(-h // (8 * vmax))
-                bx_total = [mcus_x * c[1] for c in comps]
-                by_total = [mcus_y * c[2] for c in comps]
-                geom = (hmax, vmax, mcus_x, mcus_y, bx_total, by_total)
-                coef = [
-                    [[0] * 64 for _ in range(bx_total[ci] * by_total[ci])]
-                    for ci in range(ncomp)
-                ]
+                geom, coef = _init_coef_store(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG coding (SOF marker 0xFF{marker:02X})")
         elif marker == 0xDD:  # DRI
@@ -337,30 +325,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan_ids.append(cs)
                 scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            if not progressive:
-                if len(scan_tables) != len(frame[2]):
-                    raise ValueError("multi-scan sequential JPEG unsupported")
+            if not progressive and coef is None and len(scan_tables) == len(frame[2]):
+                # the 99% case: one interleaved scan covering every
+                # component — the single-pass fast path
                 return _decode_scan(
                     data, pos, frame, scan_tables, qtables, htables, restart_interval
                 )
-            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             saw_scan = True
-            pos = _scan_progressive(
-                data,
-                pos,
-                frame,
-                geom,
-                scan_ids,
-                scan_tables,
-                ss,
-                se,
-                a >> 4,
-                a & 0x0F,
-                htables,
-                restart_interval,
-                coef,
-            )
-    if progressive and saw_scan:
+            if progressive:
+                ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+                pos = _scan_progressive(
+                    data,
+                    pos,
+                    frame,
+                    geom,
+                    scan_ids,
+                    scan_tables,
+                    ss,
+                    se,
+                    a >> 4,
+                    a & 0x0F,
+                    htables,
+                    restart_interval,
+                    coef,
+                )
+            else:
+                # multi-scan SEQUENTIAL: each scan baseline-codes a
+                # component subset (T.81 A.2) into the shared store
+                if coef is None:
+                    geom, coef = _init_coef_store(frame)
+                pos = _scan_sequential(
+                    data,
+                    pos,
+                    frame,
+                    geom,
+                    scan_ids,
+                    scan_tables,
+                    htables,
+                    restart_interval,
+                    coef,
+                )
+    if saw_scan and coef is not None:
         return _assemble_progressive(frame, geom, coef, qtables)
     raise ValueError("JPEG carries no scan")
 
@@ -480,6 +485,140 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, restart_interv
     if out.shape[-1] == 3:
         return _ycbcr_to_rgb(out)
     return out
+
+
+def _init_coef_store(frame):
+    """Frame geometry + an all-zero per-component zigzag coefficient
+    store (blocks x 64) for multi-scan decoding (progressive, or
+    sequential with per-component scans)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2x2 unsupported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    bx_total = [mcus_x * c[1] for c in comps]
+    by_total = [mcus_y * c[2] for c in comps]
+    geom = (hmax, vmax, mcus_x, mcus_y, bx_total, by_total)
+    coef = [
+        [[0] * 64 for _ in range(bx_total[ci] * by_total[ci])]
+        for ci in range(len(comps))
+    ]
+    return geom, coef
+
+
+def _scan_sequential(
+    data, pos, frame, geom, scan_ids, scan_tables, htables, restart_interval, coef
+):
+    """Decode one SEQUENTIAL scan — full baseline coding (DC diff +
+    AC run-length, EOB/ZRL) of every block — into the coefficient
+    store. Covers the multi-scan sequential layout where each scan
+    carries a component subset, interleaved (ns > 1, frame MCU grid)
+    or non-interleaved (the component's own block raster)."""
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y, bx_total, by_total = geom
+    segments, end = _split_scan(data, pos)
+    idxs = [next(i for i, c in enumerate(comps) if c[0] == cid) for cid in scan_ids]
+    luts = {
+        ci: (
+            htables[(0, scan_tables[comps[ci][0]][0])],
+            htables[(1, scan_tables[comps[ci][0]][1])],
+        )
+        for ci in idxs
+    }
+
+    if len(idxs) > 1:
+        total_units = mcus_x * mcus_y
+
+        def unit_blocks(mcu_idx):
+            my, mx = divmod(mcu_idx, mcus_x)
+            return [
+                (
+                    ci,
+                    (my * comps[ci][2] + by) * bx_total[ci]
+                    + (mx * comps[ci][1] + bx),
+                )
+                for ci in idxs
+                for by in range(comps[ci][2])
+                for bx in range(comps[ci][1])
+            ]
+
+    else:
+        ci0 = idxs[0]
+        hs0, vs0 = comps[ci0][1], comps[ci0][2]
+        bw0 = -(-(-(-w * hs0 // hmax)) // 8)
+        bh0 = -(-(-(-h * vs0 // vmax)) // 8)
+        total_units = bw0 * bh0
+        bxt0 = bx_total[ci0]
+
+        def unit_blocks(mcu_idx):
+            by, bx = divmod(mcu_idx, bw0)
+            return [(ci0, by * bxt0 + bx)]
+
+    seg_idx = 0
+    w48 = _bit_windows(segments[0])
+    nbits = len(segments[0]) * 8
+    bitpos = 0
+    preds = {ci: 0 for ci in idxs}
+    mcu_in_seg = 0
+
+    for mcu_idx in range(total_units):
+        if restart_interval and mcu_in_seg == restart_interval:
+            if bitpos > nbits:
+                raise ValueError("JPEG restart segment overran")
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            w48 = _bit_windows(segments[seg_idx])
+            nbits = len(segments[seg_idx]) * 8
+            bitpos = 0
+            preds = {ci: 0 for ci in idxs}
+            mcu_in_seg = 0
+        mcu_in_seg += 1
+        for ci, bi in unit_blocks(mcu_idx):
+            (dc_val, dc_len), (ac_val, ac_len) = luts[ci]
+            blk = coef[ci][bi]
+            v16 = (w48[bitpos >> 3] >> (32 - (bitpos & 7))) & 0xFFFF
+            ln = dc_len[v16]
+            if ln == 0:
+                raise ValueError("invalid JPEG Huffman code")
+            size = dc_val[v16]
+            bitpos += ln
+            if size:
+                mag = (w48[bitpos >> 3] >> (48 - (bitpos & 7) - size)) & (
+                    (1 << size) - 1
+                )
+                bitpos += size
+                preds[ci] += (
+                    mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+                )
+            blk[0] = preds[ci]
+            k = 1
+            while k < 64:
+                v16 = (w48[bitpos >> 3] >> (32 - (bitpos & 7))) & 0xFFFF
+                ln = ac_len[v16]
+                if ln == 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                rs = ac_val[v16]
+                bitpos += ln
+                s = rs & 0x0F
+                if s == 0:
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                mag = (w48[bitpos >> 3] >> (48 - (bitpos & 7) - s)) & ((1 << s) - 1)
+                bitpos += s
+                blk[k] = mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+                k += 1
+
+    if bitpos > nbits:
+        raise ValueError("JPEG scan truncated")
+    return end
 
 
 def _scan_progressive(
@@ -1324,6 +1463,113 @@ def encode_jpeg_progressive(
             sos += bytes([ci + 1, (tid << 4) | tid])
         sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos)
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample=True,
+    restart_interval: int = 0,
+) -> bytes:
+    """Sequential JPEG written as one NON-INTERLEAVED scan per
+    component (the T.81 A.2 multi-scan layout some transcoders emit).
+    Quantized coefficients are identical to `encode_jpeg` at the same
+    settings, so decoding both must be bit-equal — the same
+    differential gate that pins the progressive decoder."""
+    planes, samp, quants, gray, h, w = _plane_setup(pixels, quality, subsample)
+    ql = quants[0]
+    qc = quants[1] if not gray else None
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = [
+        _pad_to(p, mcus_y * vs * 8, mcus_x * hs * 8)[
+            : mcus_y * vs * 8, : mcus_x * hs * 8
+        ]
+        for p, (hs, vs) in zip(planes, samp)
+    ]
+    coefs = _quantized_coefs(padded, quants, samp, mcus_x, mcus_y)
+    ncomp = len(planes)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + ql.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    if not gray:
+        out += seg(0xDB, b"\x01" + qc.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        hs, vs = samp[i]
+        sof += struct.pack("BBB", i + 1, (hs << 4) | vs, 0 if i == 0 else 1)
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, table) -> bytes:
+        bits, values = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    out += dht(0, 0, _HUFF_DC_LUMA) + dht(1, 0, _HUFF_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _HUFF_DC_CHROMA) + dht(1, 1, _HUFF_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        bw = -(-(-(-w * hs // hmax)) // 8)
+        bh = -(-(-(-h * vs // vmax)) // 8)
+        bxt = mcus_x * hs
+        dc_codes = _code_map(_HUFF_DC_LUMA if ci == 0 else _HUFF_DC_CHROMA)
+        ac_codes = _code_map(_HUFF_AC_LUMA if ci == 0 else _HUFF_AC_CHROMA)
+        writer = _BitWriter()
+        pred = 0
+        mcu_count = 0
+        rst_idx = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst_idx])
+                    rst_idx = (rst_idx + 1) % 8
+                    pred = 0
+                mcu_count += 1
+                zz = coefs[ci][by * bxt + bx]
+                size, code = _magnitude(int(zz[0]) - pred)
+                pred = int(zz[0])
+                hc, hl = dc_codes[size]
+                writer.write(hc, hl)
+                if size:
+                    writer.write(code, size)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if zz[k]:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        hc, hl = ac_codes[0xF0]
+                        writer.write(hc, hl)
+                        run -= 16
+                    size, code = _magnitude(v)
+                    hc, hl = ac_codes[(run << 4) | size]
+                    writer.write(hc, hl)
+                    writer.write(code, size)
+                    run = 0
+                if last_nz < 63:
+                    hc, hl = ac_codes[0x00]
+                    writer.write(hc, hl)
+        writer.flush()
+        tid = 0 if ci == 0 else 1
+        out += seg(0xDA, bytes([1, ci + 1, (tid << 4) | tid, 0, 63, 0]))
         out += writer.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -651,3 +651,38 @@ class TestJpegProgressiveDifferential:
             encode_jpeg_progressive(img, quality=85, subsample="422", restart_interval=3)
         )
         assert np.array_equal(base, prog)
+
+
+class TestJpegMultiscanSequential:
+    """Multi-scan SEQUENTIAL files (one non-interleaved baseline scan
+    per component, T.81 A.2) decode through the coefficient store and
+    must be bit-equal to the interleaved single-scan encoding."""
+
+    @pytest.mark.parametrize("mode", ["444", "422", "420"])
+    def test_bit_equal_to_single_scan(self, mode):
+        from mhtml_to_html_spark.media.jpeg import encode_jpeg_multiscan
+
+        for w, h in ((24, 16), (31, 17), (1, 1)):
+            img = synth_image(31, w, h)
+            single = decode_jpeg(encode_jpeg(img, quality=85, subsample=mode))
+            multi = decode_jpeg(encode_jpeg_multiscan(img, quality=85, subsample=mode))
+            assert np.array_equal(single, multi)
+
+    def test_restart_intervals(self):
+        from mhtml_to_html_spark.media.jpeg import encode_jpeg_multiscan
+
+        img = synth_image(33, 40, 26)
+        single = decode_jpeg(encode_jpeg(img, quality=85))
+        multi = decode_jpeg(
+            encode_jpeg_multiscan(img, quality=85, restart_interval=2)
+        )
+        assert np.array_equal(single, multi)
+
+    def test_grayscale_single_component_scan(self):
+        from mhtml_to_html_spark.media.jpeg import encode_jpeg_multiscan
+
+        g = synth_image(32, 20, 15)[..., 0]
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(g, quality=80)),
+            decode_jpeg(encode_jpeg_multiscan(g, quality=80)),
+        )
