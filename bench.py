@@ -279,6 +279,14 @@ def main():
             lambda: _force(decode_images(spark.read.parquet(prog_dir))),
         )
     )
+    # header-only metadata probe over the SAME mixed corpus — the
+    # measured gap vs image_decode is the cost a 100 TB metadata sweep
+    # avoids by not entropy-decoding pixels
+    from mhtml_to_html_spark.operators.multimodal import image_meta
+
+    units.append(
+        ("image_meta_probe", lambda: _force(image_meta(spark.read.parquet(img_dir))))
+    )
     units.append(("mhtml_decode", lambda: bench_mhtml_decode(spark, SF_DIR)))
     units.append(("mhtml_pages", lambda: bench_mhtml_pages(spark)))
     units.append(("frontier_crawl", lambda: bench_frontier(spark)))

@@ -686,3 +686,42 @@ class TestJpegMultiscanSequential:
             decode_jpeg(encode_jpeg(g, quality=80)),
             decode_jpeg(encode_jpeg_multiscan(g, quality=80)),
         )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestJpegDifferentialFuzz:
+    """Property: every encoder layout of the same pixels at the same
+    quality/subsampling decodes bit-equal (they all carry the same
+    quantized coefficients). This is the gate that caught the
+    einsum-vs-matmul rint tie."""
+
+    @staticmethod
+    def _image(draw, st):
+        w = draw(st.integers(1, 48))
+        h = draw(st.integers(1, 48))
+        gray = draw(st.booleans())
+        seed = draw(st.integers(0, 2**31))
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (h, w) if gray else (h, w, 3), np.uint8)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def test_all_layouts_bit_equal(self, data):
+        from mhtml_to_html_spark.media.jpeg import encode_jpeg_multiscan
+
+        img = self._image(data.draw, st)
+        q = data.draw(st.integers(1, 100))
+        mode = data.draw(st.sampled_from(["444", "422", "420"]))
+        ri = data.draw(st.sampled_from([0, 1, 3]))
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=mode))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=q, subsample=mode, restart_interval=ri)
+        )
+        multi = decode_jpeg(
+            encode_jpeg_multiscan(img, quality=q, subsample=mode, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog)
+        assert np.array_equal(base, multi)
