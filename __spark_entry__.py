@@ -1767,6 +1767,145 @@ def _image_probe_values() -> str:
     ) + " ORDER BY media_id"
 
 
+def q_image_resize(spark, sf_dir):
+    """Nearest-neighbour thumbnailing audit: resize_images over the
+    codec corpus (every compressed format decodes, then resamples to
+    16x12); md5 over the raw RGB output means a green row pins every
+    resampled pixel. Map-only mapInPandas — the 100 TB thumbnail pass
+    partitions on input splits and never shuffles."""
+    from mhtml_to_html_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(mid, "image", bytearray(data)) for mid, data in _image_codec_corpus_rows()],
+        "media_id string, kind string, bytes binary",
+    )
+    return (
+        resize_images(media, 16, 12)
+        .select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.md5("bytes").alias("bytes_md5"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _image_resize_values() -> str:
+    import hashlib as _hl
+    import struct as _struct
+
+    import numpy as np
+
+    from mhtml_to_html_spark.operators.multimodal import _decode_image, _to_rgb3
+
+    rows = []
+    for mid, data in _image_codec_corpus_rows():
+        pixels = _to_rgb3(_decode_image(data))
+        h, w = pixels.shape[:2]
+        ys = (np.arange(12) * h) // 12
+        xs = (np.arange(16) * w) // 16
+        resized = pixels[ys][:, xs]
+        out = _struct.pack("<HH", 16, 12) + resized.tobytes()
+        rows.append(
+            {
+                "media_id": mid,
+                "width": 16,
+                "height": 12,
+                "bytes_md5": _hl.md5(out).hexdigest(),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "width": "BIGINT",
+            "height": "BIGINT",
+            "bytes_md5": "VARCHAR",
+        },
+    ) + " ORDER BY media_id"
+
+
+def _media_frames_corpus_rows():
+    """Y4M videos + an animated GIF — every payload the frame sampler
+    decodes for real."""
+    from mhtml_to_html_spark.images.synth import synth_image
+    from mhtml_to_html_spark.media import encode_gif, encode_y4m, synth_video
+
+    rows = [
+        ("y4m_short", encode_y4m(synth_video(1, n_frames=3, w=12, h=10), fps=10)),
+        ("y4m_long", encode_y4m(synth_video(2, n_frames=9, w=16, h=12), fps=25)),
+        (
+            "gif_anim",
+            encode_gif(
+                [synth_image(40 + i, 14, 11) // 64 * 64 for i in range(5)],
+                delays_ms=[30, 50, 20, 40, 60],
+            ),
+        ),
+    ]
+    return rows
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling audit: sample_frames over real Y4M + animated
+    GIF payloads — per-frame timestamps from container timing, md5
+    over the raw RGB frame bytes pins every sampled pixel. One row in,
+    n frame rows out (the fan-out shape an ffmpeg-backed sampler would
+    have); map-only, no shuffle."""
+    from mhtml_to_html_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(mid, "video", bytearray(data)) for mid, data in _media_frames_corpus_rows()],
+        "media_id string, kind string, bytes binary",
+    )
+    return (
+        sample_frames(media, n_frames=4)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("ts_ms").cast("long").alias("ts_ms"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.md5("bytes").alias("frame_md5"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _media_frames_values() -> str:
+    import hashlib as _hl
+    import struct as _struct
+
+    from mhtml_to_html_spark.operators.multimodal import _decode_video_frames
+
+    rows = []
+    for mid, data in _media_frames_corpus_rows():
+        for idx, ts_ms, frame in _decode_video_frames(data, 4, strict=False):
+            h, w = frame.shape[:2]
+            out = _struct.pack("<HH", w, h) + frame.tobytes()
+            rows.append(
+                {
+                    "media_id": mid,
+                    "frame_idx": idx,
+                    "ts_ms": ts_ms,
+                    "width": w,
+                    "height": h,
+                    "frame_md5": _hl.md5(out).hexdigest(),
+                }
+            )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "frame_idx": "BIGINT",
+            "ts_ms": "BIGINT",
+            "width": "BIGINT",
+            "height": "BIGINT",
+            "frame_md5": "VARCHAR",
+        },
+    ) + " ORDER BY media_id, frame_idx"
+
+
 def _image_quality_corpus_rows():
     """One image per admission outcome: a keeper, then one payload per
     reject reason (too_small, bad_aspect, low_entropy, blurry,
@@ -3094,6 +3233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exif": q_image_exif,
         "image_phash_dct": q_image_phash_dct,
         "image_probe": q_image_probe,
+        "image_resize": q_image_resize,
+        "media_frames": q_media_frames,
         "stream_windowed": q_stream_windowed,
         # rotated in: driver-unchecked in r2-r4 (judge-replayed only)
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
@@ -3591,6 +3732,8 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "image_exif": _image_exif_values(),
         "image_phash_dct": _image_phash_dct_values(),
         "image_probe": _image_probe_values(),
+        "image_resize": _image_resize_values(),
+        "media_frames": _media_frames_values(),
         "stream_windowed": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
