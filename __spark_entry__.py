@@ -1564,6 +1564,7 @@ def _image_codec_corpus_rows():
     from mhtml_to_html_spark.images.synth import encode_image, synth_image
     from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
     from mhtml_to_html_spark.media.jpeg import (
+        encode_jpeg_cmyk,
         encode_jpeg_multiscan,
         encode_jpeg_progressive,
     )
@@ -1595,6 +1596,21 @@ def _image_codec_corpus_rows():
         ("jpg_restart", encode_jpeg(synth_image(85, 32, 24), quality=85, restart_interval=2)),
         ("jpg_422", encode_jpeg(synth_image(94, 27, 18), quality=85, subsample="422")),
         ("jpg_multiscan", encode_jpeg_multiscan(synth_image(96, 25, 20), quality=85)),
+        (
+            "jpg_cmyk",
+            encode_jpeg_cmyk(
+                np.dstack([synth_image(97, 19, 14), synth_image(98, 19, 14)[..., 0]]),
+                quality=95,
+            ),
+        ),
+        (
+            "jpg_ycck",
+            encode_jpeg_cmyk(
+                np.dstack([synth_image(99, 18, 13), synth_image(100, 18, 13)[..., 0]]),
+                quality=95,
+                transform=2,
+            ),
+        ),
         ("jpg_prog", encode_jpeg_progressive(synth_image(89, 26, 19), quality=85)),
         (
             "jpg_prog_444",

@@ -10,6 +10,7 @@ from .gif import decode_gif, encode_gif  # noqa: F401
 from .jpeg import (  # noqa: F401
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_cmyk,
     encode_jpeg_multiscan,
     encode_jpeg_progressive,
 )

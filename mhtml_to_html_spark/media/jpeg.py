@@ -261,6 +261,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (h, w, components[(cid, hs, vs, tq)])
     progressive = False
     restart_interval = 0
+    adobe_transform = None
     coef: list[list[list[int]]] | None = None  # per comp: blocks × 64 (zigzag)
     geom = None  # (hmax, vmax, mcus_x, mcus_y, bx_total[], by_total[])
     saw_scan = False
@@ -278,7 +279,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
         pos += seglen
-        if marker == 0xDB:  # DQT
+        if marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]  # 0=CMYK/unknown, 1=YCbCr, 2=YCCK
+        elif marker == 0xDB:  # DQT
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
@@ -329,7 +332,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # the 99% case: one interleaved scan covering every
                 # component — the single-pass fast path
                 return _decode_scan(
-                    data, pos, frame, scan_tables, qtables, htables, restart_interval
+                    data,
+                    pos,
+                    frame,
+                    scan_tables,
+                    qtables,
+                    htables,
+                    restart_interval,
+                    adobe_transform,
                 )
             saw_scan = True
             if progressive:
@@ -366,11 +376,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     coef,
                 )
     if saw_scan and coef is not None:
-        return _assemble_progressive(frame, geom, coef, qtables)
+        return _assemble_progressive(frame, geom, coef, qtables, adobe_transform)
     raise ValueError("JPEG carries no scan")
 
 
-def _decode_scan(data, pos, frame, scan_tables, qtables, htables, restart_interval):
+def _decode_scan(
+    data, pos, frame, scan_tables, qtables, htables, restart_interval, adobe_transform=None
+):
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -482,9 +494,7 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables, restart_interv
         full.append(up[:h, :w])
     out = np.stack(full, axis=-1)
     out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
-    if out.shape[-1] == 3:
-        return _ycbcr_to_rgb(out)
-    return out
+    return _finish_planes(out, adobe_transform)
 
 
 def _init_coef_store(frame):
@@ -860,7 +870,7 @@ def _scan_progressive(
     return end
 
 
-def _assemble_progressive(frame, geom, coef, qtables):
+def _assemble_progressive(frame, geom, coef, qtables, adobe_transform=None):
     """Accumulated zigzag coefficients → pixels (dequantize + batched
     IDCT + dense plane assembly + upsample + color convert)."""
     h, w, comps = frame
@@ -878,9 +888,7 @@ def _assemble_progressive(frame, geom, coef, qtables):
         full.append(up[:h, :w])
     out = np.stack(full, axis=-1)
     out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
-    if out.shape[-1] == 3:
-        return _ycbcr_to_rgb(out)
-    return out
+    return _finish_planes(out, adobe_transform)
 
 
 def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
@@ -891,6 +899,24 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _finish_planes(out: np.ndarray, adobe_transform: int | None) -> np.ndarray:
+    """Upsampled component stack → displayed pixels. 3 components are
+    JFIF YCbCr; 4 components are Adobe CMYK (transform 0) or YCCK
+    (transform 2), stored INVERTED per Adobe convention, composited to
+    RGB the way libjpeg/browsers do: rgb = inverted_cmy * k / 255."""
+    n = out.shape[-1]
+    if n == 3:
+        return _ycbcr_to_rgb(out)
+    if n == 4:
+        if adobe_transform == 2:  # YCCK: first three are YCbCr of inverted CMY
+            cmy = _ycbcr_to_rgb(out[..., :3]).astype(np.float64)
+        else:
+            cmy = out[..., :3].astype(np.float64)
+        k = out[..., 3:].astype(np.float64)
+        return np.clip(np.rint(cmy * k / 255.0), 0, 255).astype(np.uint8)
+    return out  # single-component grayscale
 
 
 def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
@@ -1571,5 +1597,96 @@ def encode_jpeg_multiscan(
         tid = 0 if ci == 0 else 1
         out += seg(0xDA, bytes([1, ci + 1, (tid << 4) | tid, 0, 63, 0]))
         out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(
+    planes4: np.ndarray,
+    quality: int = 90,
+    transform: int = 0,
+) -> bytes:
+    """(h, w, 4) INVERTED-CMYK uint8 (the Adobe storage convention) →
+    4-component sequential JFIF bytes with an Adobe APP14 segment.
+    transform 0 stores the planes as-is (CMYK); transform 2 stores
+    YCCK (the YCbCr forward transform applied to the inverted CMY
+    channels, K passthrough). 4:4:4, luma quant/Huffman tables for
+    every component — fixture builder for the decoder's Adobe path."""
+    planes4 = np.asarray(planes4, dtype=np.uint8)
+    if planes4.ndim != 3 or planes4.shape[-1] != 4:
+        raise ValueError("encode_jpeg_cmyk needs (h, w, 4) pixels")
+    h, w = planes4.shape[:2]
+    ql = _scaled_quant(_Q_LUMA, quality)
+    if transform == 2:
+        ycc = _rgb_to_ycbcr(planes4[..., :3])
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2], planes4[..., 3].astype(np.float64)]
+    elif transform == 0:
+        planes = [planes4[..., i].astype(np.float64) for i in range(4)]
+    else:
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    samp = [(1, 1)] * 4
+    mcus_x = -(-w // 8)
+    mcus_y = -(-h // 8)
+    padded = [_pad_to(p, mcus_y * 8, mcus_x * 8) for p in planes]
+    coefs = _quantized_coefs(padded, [ql] * 4, samp, mcus_x, mcus_y)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xEE, b"Adobe" + b"\x00\x65\x00\x00\x00\x00" + bytes([transform]))
+    out += seg(0xDB, b"\x00" + ql.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for i in range(4):
+        sof += struct.pack("BBB", i + 1, 0x11, 0)
+    out += seg(0xC0, sof)
+    bits, values = _HUFF_DC_LUMA
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(values))
+    bits, values = _HUFF_AC_LUMA
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(values))
+
+    dc_codes = _code_map(_HUFF_DC_LUMA)
+    ac_codes = _code_map(_HUFF_AC_LUMA)
+    writer = _BitWriter()
+    preds = [0] * 4
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(4):
+                zz = coefs[ci][my * mcus_x + mx]
+                size, code = _magnitude(int(zz[0]) - preds[ci])
+                preds[ci] = int(zz[0])
+                hc, hl = dc_codes[size]
+                writer.write(hc, hl)
+                if size:
+                    writer.write(code, size)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if zz[k]:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        hc, hl = ac_codes[0xF0]
+                        writer.write(hc, hl)
+                        run -= 16
+                    size, code = _magnitude(v)
+                    hc, hl = ac_codes[(run << 4) | size]
+                    writer.write(hc, hl)
+                    writer.write(code, size)
+                    run = 0
+                if last_nz < 63:
+                    hc, hl = ac_codes[0x00]
+                    writer.write(hc, hl)
+    writer.flush()
+    sos = bytes([4])
+    for i in range(4):
+        sos += bytes([i + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += writer.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -725,3 +725,60 @@ class TestJpegDifferentialFuzz:
         )
         assert np.array_equal(base, prog)
         assert np.array_equal(base, multi)
+
+
+class TestJpegAdobeCmyk:
+    """4-component Adobe JPEGs (APP14): CMYK (transform 0) and YCCK
+    (transform 2), stored inverted, composited to RGB the way
+    libjpeg/browsers do (rgb = inverted_cmy * k / 255)."""
+
+    def test_hand_vector_dc_only_cmyk(self):
+        """Flat 8x8 planes via hand-built DC diffs (3,2,2,3), quant 16:
+        planes (134,132,132,134) -> rgb = rint(cmy*k/255) = (70,69,69)."""
+        data = (
+            b"\xff\xd8"
+            + _jpeg_seg(0xEE, b"Adobe" + b"\x00\x65\x00\x00\x00\x00\x00")
+            + _jpeg_seg(0xDB, b"\x00" + bytes([16] * 64))
+            + _jpeg_seg(
+                0xC0,
+                bytes([8, 0, 8, 0, 8, 4])
+                + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]),
+            )
+            + _jpeg_seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2]))
+            + _jpeg_seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+            + _jpeg_seg(
+                0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0])
+            )
+            # per comp: DC code '0' + diff bits + AC EOB code '0'
+            # 0 11 0 | 0 10 0 | 0 10 0 | 0 11 0 -> 0x64 0x46
+            + bytes([0b01100100, 0b01000110])
+            + b"\xff\xd9"
+        )
+        out = decode_jpeg(data)
+        assert out.shape == (8, 8, 3)
+        assert np.unique(out.reshape(-1, 3), axis=0).tolist() == [[70, 69, 69]]
+
+    @pytest.mark.parametrize("transform", [0, 2])
+    def test_round_trip_psnr_vs_exact_composite(self, transform):
+        from mhtml_to_html_spark.media.jpeg import encode_jpeg_cmyk
+
+        rgbish = synth_image(51, 33, 26)
+        k = synth_image(52, 33, 26)[..., 0]
+        cmyk = np.dstack([rgbish, k])
+        expected = np.clip(
+            np.rint(
+                rgbish.astype(np.float64) * k[..., None].astype(np.float64) / 255.0
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_cmyk(cmyk, quality=97, transform=transform))
+        assert out.shape == (26, 33, 3)
+        assert psnr(expected, out) >= 40
+
+    def test_pipeline_dims_via_probe(self):
+        from mhtml_to_html_spark.media.jpeg import encode_jpeg_cmyk
+        from mhtml_to_html_spark.media.probe import probe_image
+
+        cmyk = np.dstack([synth_image(53, 15, 11), synth_image(54, 15, 11)[..., 0]])
+        assert probe_image(encode_jpeg_cmyk(cmyk)) == ("jpeg", 15, 11)
