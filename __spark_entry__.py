@@ -1852,6 +1852,14 @@ def _media_frames_corpus_rows():
         ("y4m_short", encode_y4m(synth_video(1, n_frames=3, w=12, h=10), fps=10)),
         ("y4m_long", encode_y4m(synth_video(2, n_frames=9, w=16, h=12), fps=25)),
         (
+            "y4m_420",
+            encode_y4m(synth_video(3, n_frames=5, w=14, h=10), fps=12, colorspace="C420jpeg"),
+        ),
+        (
+            "y4m_422",
+            encode_y4m(synth_video(4, n_frames=4, w=18, h=9), fps=15, colorspace="C422"),
+        ),
+        (
             "gif_anim",
             encode_gif(
                 [synth_image(40 + i, 14, 11) // 64 * 64 for i in range(5)],

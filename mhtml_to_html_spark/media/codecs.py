@@ -102,23 +102,61 @@ def _yuv444_to_rgb(yuv: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_y4m(frames: list[np.ndarray], fps: int = 25) -> bytes:
-    """RGB uint8 frames (h, w, 3), all same size → YUV4MPEG2 C444."""
+def encode_y4m(
+    frames: list[np.ndarray], fps: int = 25, colorspace: str = "C444"
+) -> bytes:
+    """RGB uint8 frames (h, w, 3), all same size → YUV4MPEG2.
+
+    colorspace: C444 (full chroma), C422 (2x1 mean-subsampled chroma,
+    even width), C420jpeg (2x2, even dims), or Cmono (luma only)."""
     if not frames:
         raise ValueError("no frames")
     h, w = frames[0].shape[:2]
-    out = [b"%s W%d H%d F%d:1 Ip A1:1 C444\n" % (_Y4M_MAGIC, w, h, fps)]
+    if colorspace in ("C420jpeg", "C420") and (w % 2 or h % 2):
+        raise ValueError("4:2:0 Y4M needs even dimensions")
+    if colorspace == "C422" and w % 2:
+        raise ValueError("4:2:2 Y4M needs even width")
+    out = [
+        b"%s W%d H%d F%d:1 Ip A1:1 %s\n"
+        % (_Y4M_MAGIC, w, h, fps, colorspace.encode("ascii"))
+    ]
     for frame in frames:
         if frame.shape[:2] != (h, w):
             raise ValueError("frame size mismatch")
         yuv = _rgb_to_yuv444(frame)
         out.append(b"FRAME\n")
-        out.append(yuv.tobytes())  # Y plane, U plane, V plane
+        if colorspace == "Cmono":
+            out.append(yuv[0].tobytes())
+        elif colorspace in ("C420jpeg", "C420"):
+            out.append(yuv[0].tobytes())
+            for c in (1, 2):
+                sub = yuv[c].astype(np.float64).reshape(h // 2, 2, w // 2, 2)
+                out.append(
+                    np.clip(np.rint(sub.mean(axis=(1, 3))), 0, 255)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+        elif colorspace == "C422":
+            out.append(yuv[0].tobytes())
+            for c in (1, 2):
+                sub = yuv[c].astype(np.float64).reshape(h, w // 2, 2)
+                out.append(
+                    np.clip(np.rint(sub.mean(axis=2)), 0, 255)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+        elif colorspace == "C444":
+            out.append(yuv.tobytes())  # Y plane, U plane, V plane
+        else:
+            raise ValueError(f"unsupported Y4M colorspace {colorspace}")
     return b"".join(out)
 
 
 def decode_y4m(data: bytes) -> tuple[list[np.ndarray], int]:
-    """YUV4MPEG2 C444 → (RGB uint8 frames, fps)."""
+    """YUV4MPEG2 → (RGB uint8 frames, fps). Colorspaces: C444, C422,
+    C420/C420jpeg/C420mpeg2/C420paldv (all upsampled nearest-neighbour
+    — the chroma-siting variants differ only in sample placement,
+    which nearest-neighbour replication washes out), Cmono."""
     if not data.startswith(_Y4M_MAGIC):
         raise ValueError("not a YUV4MPEG2 stream")
     nl = data.index(b"\n")
@@ -138,21 +176,39 @@ def decode_y4m(data: bytes) -> tuple[list[np.ndarray], int]:
             colorspace = token
     if w is None or h is None:
         raise ValueError("Y4M missing dimensions")
-    if colorspace != "C444":
+    plane = w * h
+    if colorspace == "C444":
+        chroma_shape = (h, w)
+    elif colorspace == "C422":
+        chroma_shape = (h, w // 2)
+    elif colorspace in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        chroma_shape = (h // 2, w // 2)
+    elif colorspace == "Cmono":
+        chroma_shape = None
+    else:
         raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    chroma_n = 0 if chroma_shape is None else chroma_shape[0] * chroma_shape[1]
+    frame_bytes = plane + 2 * chroma_n
     frames = []
     pos = nl + 1
-    plane = w * h
     while pos < len(data):
         fnl = data.index(b"\n", pos)
         if data[pos : pos + 5] != b"FRAME":
             raise ValueError("malformed Y4M frame header")
         pos = fnl + 1
-        yuv = np.frombuffer(data, dtype=np.uint8, count=3 * plane, offset=pos).reshape(
-            3, h, w
-        )
-        frames.append(_yuv444_to_rgb(yuv))
-        pos += 3 * plane
+        raw = np.frombuffer(data, dtype=np.uint8, count=frame_bytes, offset=pos)
+        if raw.size != frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        y = raw[:plane].reshape(h, w)
+        if chroma_shape is None:
+            u = v = np.full((h, w), 128, dtype=np.uint8)
+        else:
+            u = raw[plane : plane + chroma_n].reshape(chroma_shape)
+            v = raw[plane + chroma_n :].reshape(chroma_shape)
+            u = np.repeat(np.repeat(u, h // chroma_shape[0], axis=0), w // chroma_shape[1], axis=1)
+            v = np.repeat(np.repeat(v, h // chroma_shape[0], axis=0), w // chroma_shape[1], axis=1)
+        frames.append(_yuv444_to_rgb(np.stack([y, u, v])))
+        pos += frame_bytes
     return frames, fps
 
 

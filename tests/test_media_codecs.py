@@ -162,3 +162,58 @@ class TestImaAdpcm:
 
         with _pytest.raises(ValueError, match="unsupported WAV format"):
             decode_wav(bad)
+
+
+def test_y4m_chroma_subsampled_colorspaces():
+    """C422/C420jpeg/Cmono decode bit-equal to an independent numpy
+    replay of the mean-subsample + nearest-neighbour upsample math;
+    C420mpeg2/C420paldv parse as 4:2:0 aliases (chroma siting washes
+    out under nearest-neighbour replication)."""
+    import numpy as np
+
+    from mhtml_to_html_spark.media.codecs import (
+        _rgb_to_yuv444,
+        _yuv444_to_rgb,
+        decode_y4m,
+        encode_y4m,
+        synth_video,
+    )
+
+    h, w = 12, 16
+    frames = synth_video(7, n_frames=3, w=w, h=h)
+    yuv = _rgb_to_yuv444(frames[0])
+
+    def mean_sub(plane, fy, fx):
+        sub = plane.astype(np.float64).reshape(h // fy, fy, w // fx, fx).mean((1, 3))
+        sub = np.clip(np.rint(sub), 0, 255).astype(np.uint8)
+        return np.repeat(np.repeat(sub, fy, axis=0), fx, axis=1)
+
+    flat = np.full((h, w), 128, np.uint8)
+    expected = {
+        "C444": _yuv444_to_rgb(yuv),
+        "C422": _yuv444_to_rgb(np.stack([yuv[0], mean_sub(yuv[1], 1, 2), mean_sub(yuv[2], 1, 2)])),
+        "C420jpeg": _yuv444_to_rgb(np.stack([yuv[0], mean_sub(yuv[1], 2, 2), mean_sub(yuv[2], 2, 2)])),
+        "Cmono": _yuv444_to_rgb(np.stack([yuv[0], flat, flat])),
+    }
+    for cs, exp in expected.items():
+        out, fps = decode_y4m(encode_y4m(frames, fps=30, colorspace=cs))
+        assert fps == 30 and len(out) == 3
+        assert np.array_equal(out[0], exp), cs
+
+    aliased = encode_y4m(frames, colorspace="C420jpeg").replace(
+        b"C420jpeg", b"C420paldv", 1
+    )
+    out, _ = decode_y4m(aliased)
+    assert np.array_equal(out[0], expected["C420jpeg"])
+
+
+def test_y4m_odd_dims_rejected_for_subsampled():
+    import pytest
+
+    from mhtml_to_html_spark.media.codecs import encode_y4m, synth_video
+
+    odd = synth_video(8, n_frames=1, w=15, h=11)
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m(odd, colorspace="C420jpeg")
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m(odd, colorspace="C422")
