@@ -1930,6 +1930,84 @@ def _media_frames_values() -> str:
     ) + " ORDER BY media_id, frame_idx"
 
 
+def _audio_probe_corpus_rows():
+    """PCM + ADPCM WAV, MP3 CBR variants (stereo/mono, with and
+    without an ID3v2 tag), and junk that must come back NULL."""
+    from mhtml_to_html_spark.media import encode_wav, synth_audio
+    from mhtml_to_html_spark.media.codecs import encode_ima_adpcm_wav
+    from mhtml_to_html_spark.media.probe import build_mp3_frames
+
+    return [
+        ("wav_pcm", encode_wav(synth_audio(10, seconds=0.5, rate=8000), rate=8000)),
+        (
+            "wav_adpcm",
+            encode_ima_adpcm_wav(synth_audio(11, seconds=0.25, rate=8000), rate=8000),
+        ),
+        ("mp3_128_stereo", build_mp3_frames(38, bitrate_kbps=128, sample_rate=44100)),
+        (
+            "mp3_64_mono_id3",
+            build_mp3_frames(
+                10, bitrate_kbps=64, sample_rate=32000, channels=1, id3=True
+            ),
+        ),
+        ("junk_sync", b"\xff\xe0 not really audio" * 10),
+        ("junk_riff", b"RIFF\x00\x00\x00\x00WAVE"),
+    ]
+
+
+def q_audio_probe(spark, sf_dir):
+    """Header-only audio metadata audit: audio_meta over WAV/MP3
+    payloads — channels, sample rate, duration from container/frame
+    headers alone (no sample decode in the plan); NULLs for junk."""
+    from mhtml_to_html_spark.operators.multimodal import audio_meta
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(data)) for mid, data in _audio_probe_corpus_rows()],
+        "media_id string, bytes binary",
+    )
+    return (
+        audio_meta(media)
+        .select(
+            "media_id",
+            "fmt",
+            F.col("channels").cast("long").alias("channels"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            "duration_ms",
+            "payload_bytes",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _audio_probe_values() -> str:
+    from mhtml_to_html_spark.media.probe import probe_audio
+
+    rows = []
+    for mid, data in _audio_probe_corpus_rows():
+        p = probe_audio(data)
+        rows.append(
+            {
+                "media_id": mid,
+                "fmt": p[0] if p else None,
+                "channels": p[1] if p else None,
+                "sample_rate": p[2] if p else None,
+                "duration_ms": p[3] if p else None,
+                "payload_bytes": len(data),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "fmt": "VARCHAR",
+            "channels": "BIGINT",
+            "sample_rate": "BIGINT",
+            "duration_ms": "BIGINT",
+            "payload_bytes": "BIGINT",
+        },
+    ) + " ORDER BY media_id"
+
+
 def _image_quality_corpus_rows():
     """One image per admission outcome: a keeper, then one payload per
     reject reason (too_small, bad_aspect, low_entropy, blurry,
@@ -3259,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_probe": q_image_probe,
         "image_resize": q_image_resize,
         "media_frames": q_media_frames,
+        "audio_probe": q_audio_probe,
         "stream_windowed": q_stream_windowed,
         # rotated in: driver-unchecked in r2-r4 (judge-replayed only)
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
@@ -3758,6 +3837,7 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "image_probe": _image_probe_values(),
         "image_resize": _image_resize_values(),
         "media_frames": _media_frames_values(),
+        "audio_probe": _audio_probe_values(),
         "stream_windowed": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

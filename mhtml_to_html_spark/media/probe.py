@@ -170,3 +170,141 @@ def build_webp_container(kind: str, w: int, h: int) -> bytes:
         raise ValueError(f"unknown WebP chunk kind {kind!r}")
     chunk = kind.encode("ascii") + struct.pack("<I", len(payload)) + payload
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# --- audio ------------------------------------------------------------------------
+
+# MPEG audio Layer III bitrate tables (kbps; index 0 = free, 15 = bad)
+_MP3_BITRATE_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATE_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _skip_id3v2(data: bytes) -> int:
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = (
+        ((data[6] & 0x7F) << 21)
+        | ((data[7] & 0x7F) << 14)
+        | ((data[8] & 0x7F) << 7)
+        | (data[9] & 0x7F)
+    )
+    return 10 + size
+
+
+def _probe_mp3(data: bytes):
+    """Walk MPEG-audio Layer III frame headers (after any ID3v2 tag):
+    (channels, sample_rate, duration_ms) from header arithmetic alone.
+    Bails to None unless the sync resolves to a valid Layer III frame
+    chain covering most of the payload (so arbitrary bytes that happen
+    to contain 0xFFEx are not misread as audio)."""
+    pos = _skip_id3v2(data)
+    n = len(data)
+    frames = 0
+    samples = 0
+    rate = None
+    channels = None
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x03  # 1 = Layer III
+        if version == 1 or layer != 1:
+            break
+        bitrate_idx = (b2 >> 4) & 0x0F
+        rate_idx = (b2 >> 2) & 0x03
+        if bitrate_idx in (0, 15) or rate_idx == 3:
+            break
+        table = _MP3_BITRATE_V1 if version == 3 else _MP3_BITRATE_V2
+        bitrate = table[bitrate_idx] * 1000
+        this_rate = _MP3_RATES[version][rate_idx]
+        padding = (b2 >> 1) & 0x01
+        this_channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+        per_frame = 1152 if version == 3 else 576
+        frame_len = (per_frame // 8) * bitrate // this_rate + padding
+        if frame_len <= 4:
+            break
+        if rate is None:
+            rate, channels = this_rate, this_channels
+        frames += 1
+        samples += per_frame
+        pos += frame_len
+    if frames == 0 or rate is None:
+        return None
+    if pos < n - 128:  # allow a trailing ID3v1 tag, nothing more
+        return None
+    return channels, rate, samples * 1000 // rate
+
+
+def _probe_wav(data: bytes):
+    """RIFF/WAVE fmt + data chunk walk: (channels, sample_rate,
+    duration_ms) — duration from the header's avg-bytes-per-second, so
+    it is exact for PCM and compressed (ADPCM) payloads alike."""
+    pos = 12
+    n = len(data)
+    channels = rate = byte_rate = None
+    data_len = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and clen >= 16:
+            channels = int.from_bytes(data[pos + 10 : pos + 12], "little")
+            rate = int.from_bytes(data[pos + 12 : pos + 16], "little")
+            byte_rate = int.from_bytes(data[pos + 16 : pos + 20], "little")
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)
+    if not channels or not rate or not byte_rate or data_len is None:
+        return None
+    return channels, rate, data_len * 1000 // byte_rate
+
+
+def probe_audio(data: bytes) -> tuple[str, int, int, int] | None:
+    """(fmt, channels, sample_rate, duration_ms) from container/frame
+    headers alone — WAV (incl. compressed payloads, via the header's
+    byte rate) and MPEG Layer III (frame-header walk, ID3v2-aware).
+    None for unrecognized payloads; never decodes samples."""
+    if len(data) < 12:
+        return None
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        got = _probe_wav(data)
+        return ("wav", *got) if got else None
+    start = _skip_id3v2(data)
+    if (
+        len(data) >= start + 4
+        and data[start] == 0xFF
+        and (data[start + 1] & 0xE0) == 0xE0
+    ):
+        got = _probe_mp3(data)
+        return ("mp3", *got) if got else None
+    return None
+
+
+def build_mp3_frames(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    id3: bool = False,
+) -> bytes:
+    """Valid MPEG1 Layer III frame-header chain with zeroed payloads —
+    fixture builder (probe-only, like the WebP containers: decode
+    stays behind the codec seam)."""
+    try:
+        bidx = _MP3_BITRATE_V1.index(bitrate_kbps)
+    except ValueError:
+        raise ValueError(f"unsupported bitrate {bitrate_kbps}")
+    ridx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    mode = 0xC0 if channels == 1 else 0x00
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    header = bytes([0xFF, 0xFB, (bidx << 4) | (ridx << 2), mode])
+    frame = header + b"\x00" * (frame_len - 4)
+    out = b""
+    if id3:
+        tag_body = b"\x00" * 30
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
+             (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+        ) + tag_body
+    return out + frame * n_frames

@@ -358,6 +358,54 @@ def image_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "bytes").mapInPandas(run, schema=META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = (
+    "media_id string, fmt string, channels int, sample_rate int, "
+    "duration_ms long, payload_bytes long"
+)
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """Header-only audio metadata: WAV (fmt-chunk fields; duration via
+    the header's avg byte rate, exact for PCM and compressed payloads
+    alike) and MPEG Layer III (frame-header walk, ID3v2-aware) — the
+    audio twin of image_meta; samples are never decoded. NULLs for
+    unrecognized payloads. Map-only, no shuffle."""
+
+    def run(batches):
+        import pandas as pd
+
+        from ..media.probe import probe_audio
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(data)
+                p = probe_audio(data)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "fmt": p[0] if p else None,
+                        "channels": p[1] if p else None,
+                        "sample_rate": p[2] if p else None,
+                        "duration_ms": p[3] if p else None,
+                        "payload_bytes": len(data),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "fmt",
+                    "channels",
+                    "sample_rate",
+                    "duration_ms",
+                    "payload_bytes",
+                ],
+            )
+
+    return media.select("media_id", "bytes").mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
 QUALITY_SCHEMA = (
     "media_id string, width long, height long, entropy double, "
     "lap_var double, colorfulness double, extreme_frac double, "

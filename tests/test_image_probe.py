@@ -177,3 +177,54 @@ def test_image_meta_orientation(spark):
     assert got["plain"]["orientation"] is None
     assert got["rot6"]["orientation"] == 6
     assert got["png"]["orientation"] is None
+
+
+class TestAudioProbe:
+    """probe_audio: WAV and MP3 metadata from headers alone."""
+
+    def test_wav_pcm16_duration_exact(self):
+        from mhtml_to_html_spark.media import encode_wav, synth_audio
+        from mhtml_to_html_spark.media.probe import probe_audio
+
+        wav = encode_wav(synth_audio(1, seconds=0.5, rate=8000), rate=8000)
+        assert probe_audio(wav) == ("wav", 1, 8000, 500)
+
+    def test_wav_adpcm_duration_from_byte_rate(self):
+        from mhtml_to_html_spark.media.codecs import encode_ima_adpcm_wav
+        from mhtml_to_html_spark.media import synth_audio
+        from mhtml_to_html_spark.media.probe import probe_audio
+
+        wav = encode_ima_adpcm_wav(synth_audio(2, seconds=0.25, rate=8000), rate=8000)
+        got = probe_audio(wav)
+        assert got is not None and got[0] == "wav" and got[2] == 8000
+        # avg-byte-rate arithmetic: within one ADPCM block of the truth
+        assert abs(got[3] - 250) < 80
+
+    def test_mp3_frame_walk(self):
+        from mhtml_to_html_spark.media.probe import build_mp3_frames, probe_audio
+
+        mp3 = build_mp3_frames(38, bitrate_kbps=128, sample_rate=44100)
+        assert probe_audio(mp3) == ("mp3", 2, 44100, 38 * 1152 * 1000 // 44100)
+
+    def test_mp3_id3v2_and_mono(self):
+        from mhtml_to_html_spark.media.probe import build_mp3_frames, probe_audio
+
+        mp3 = build_mp3_frames(
+            10, bitrate_kbps=64, sample_rate=32000, channels=1, id3=True
+        )
+        assert probe_audio(mp3) == ("mp3", 1, 32000, 10 * 1152 * 1000 // 32000)
+
+    @pytest.mark.parametrize(
+        "data",
+        [
+            b"",
+            b"\xff",
+            b"\xff\xe0 not really audio" * 10,  # sync bytes, bogus frame chain
+            b"RIFF\x00\x00\x00\x00WAVE",  # WAVE with no fmt/data chunks
+            b"RIFF\x00\x00\x00\x00WEBPVP8 ",  # RIFF but not WAVE
+        ],
+    )
+    def test_rejects_garbage(self, data):
+        from mhtml_to_html_spark.media.probe import probe_audio
+
+        assert probe_audio(data) is None
