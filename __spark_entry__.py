@@ -2435,6 +2435,103 @@ def q_frontier_stream(spark, sf_dir):
     )
 
 
+_CRAWL_IMG_KW = dict(max_rounds=2, host_budget=4)
+
+
+def q_crawl_images(spark, sf_dir):
+    """The north-star flow in ONE driver-checked row: frontier crawl
+    (scripted fetch double) → each OK fetch's MHTML payload → MIME
+    split → image+caption extraction → the input_hint table keyed by
+    crawl URL. The Spark side rebuilds each fetched URL's
+    deterministic payload executor-side (the same bytes the fetch
+    stage decoded inline) and runs the split/extract pipeline; the
+    oracle replays the pure-Python scheduler plus the corpus golden
+    metadata for the same payloads."""
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+    from mhtml_to_html_spark.operators.images_extract import extract_images
+    from mhtml_to_html_spark.operators.split import split_archives
+
+    res = crawl_spark(spark, seed_urls(3, 2), collect_order=True, **_CRAWL_IMG_KW)
+    ok_urls = sorted({o["url"] for o in res.order if o["status"] == "ok"})
+    urls = spark.createDataFrame([(u,) for u in ok_urls], "url string").repartition(8)
+
+    def build(batches):
+        import pandas as pd
+
+        from mhtml_to_html_spark.frontier.seenset import url_hash64
+        from mhtml_to_html_spark.sources.corpus import build_archive
+
+        for pdf in batches:
+            rows = [
+                {
+                    "archive_id": u,
+                    "content": build_archive(url_hash64(u) % 64, 2, 1),
+                }
+                for u in pdf["url"]
+            ]
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    archives = urls.mapInPandas(build, schema="archive_id string, content binary")
+    return (
+        extract_images(split_archives(archives))
+        .select(
+            F.col("archive_id").alias("url"),
+            "image_id",
+            F.col("w").cast("long").alias("w"),
+            F.col("h").cast("long").alias("h"),
+            "fmt",
+            "caption",
+            F.col("phash").cast("long").alias("phash"),
+            F.sha2(F.col("bytes"), 256).alias("bytes_sha256"),
+        )
+        .orderBy("url", "image_id")
+    )
+
+
+def _crawl_images_values() -> str:
+    from mhtml_to_html_spark.frontier.fixtures import seed_urls
+    from mhtml_to_html_spark.frontier.oracle import crawl_oracle
+    from mhtml_to_html_spark.frontier.seenset import url_hash64
+    from mhtml_to_html_spark.sources.corpus import image_meta
+
+    res = crawl_oracle(seed_urls(3, 2), **_CRAWL_IMG_KW)
+    ok_urls = sorted({o["url"] for o in res.order if o["status"] == "ok"})
+    rows = []
+    for url in ok_urls:
+        idx = url_hash64(url) % 64
+        for k in range(2):
+            gid = idx * 2 + k
+            meta = image_meta(gid)
+            rows.append(
+                {
+                    "url": url,
+                    "image_id": meta["image_id"],
+                    "w": meta["w"],
+                    "h": meta["h"],
+                    "fmt": meta["fmt"],
+                    "caption": meta["caption"],
+                    "phash": meta["phash"]
+                    if meta["fmt"] != "lossy"
+                    else _lossy_phash(gid, meta),
+                    "bytes_sha256": hashlib.sha256(meta["bytes"]).hexdigest(),
+                }
+            )
+    return _values_oracle(
+        rows,
+        {
+            "url": "VARCHAR",
+            "image_id": "VARCHAR",
+            "w": "BIGINT",
+            "h": "BIGINT",
+            "fmt": "VARCHAR",
+            "caption": "VARCHAR",
+            "phash": "BIGINT",
+            "bytes_sha256": "VARCHAR",
+        },
+    ) + " ORDER BY url, image_id"
+
+
 def q_mhtml_images(spark, sf_dir):
     from mhtml_to_html_spark.operators.images_extract import extract_images
 
@@ -3318,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mhtml_index": q_mhtml_index,
         "mhtml_golden": q_mhtml_golden,
         "mhtml_images": q_mhtml_images,
+        "crawl_images": q_crawl_images,
         "mhtml_anomalies": q_mhtml_anomalies,
         "mhtml_pages": q_mhtml_pages,
         "mhtml_headers": q_mhtml_headers,
@@ -3806,6 +3904,7 @@ ORDER BY vec_a, vec_b""",
             {"case_id": "VARCHAR", "check_name": "VARCHAR", "passed": "BOOLEAN"},
         ) + " ORDER BY case_id, check_name",
         "mhtml_images": _mhtml_images_values(),
+        "crawl_images": _crawl_images_values(),
         "mhtml_anomalies": _mhtml_anomalies_values(),
         "mhtml_pages": _mhtml_pages_values(),
         "image_phash_neardup": _phash_neardup_values(),
