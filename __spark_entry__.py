@@ -1563,6 +1563,7 @@ def _image_codec_corpus_rows():
 
     from mhtml_to_html_spark.images.synth import encode_image, synth_image
     from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
+    from mhtml_to_html_spark.media.ico import encode_ico
     from mhtml_to_html_spark.media.jpeg import (
         encode_jpeg_cmyk,
         encode_jpeg_multiscan,
@@ -1624,6 +1625,8 @@ def _image_codec_corpus_rows():
             "jpg_prog_restart",
             encode_jpeg_progressive(synth_image(93, 30, 21), quality=85, restart_interval=2),
         ),
+        ("ico_png_large", encode_ico([synth_image(101, 16, 16), synth_image(102, 32, 32)])),
+        ("ico_dib32", encode_ico([synth_image(103, 24, 24)], dib=True)),
         ("ppm_control", encode_image(synth_image(86, 10, 8), "ppm")),
         ("bmp_control", encode_image(synth_image(87, 10, 8), "bmp")),
         ("raw_control", encode_image(synth_image(88, 10, 8), "raw")),
@@ -1711,8 +1714,9 @@ def _image_probe_corpus_rows():
         ("junk_sofless_jpeg", b"\xff\xd8\xff\xd9"),
     ]
     from mhtml_to_html_spark.images.synth import synth_image
-    from mhtml_to_html_spark.media import encode_jpeg
+    from mhtml_to_html_spark.media import encode_ico, encode_jpeg
     from mhtml_to_html_spark.media.exif import build_exif_app1
+    from mhtml_to_html_spark.media.probe import build_avif_header, build_mp4_header
 
     rows.append(
         (
@@ -1720,6 +1724,20 @@ def _image_probe_corpus_rows():
             encode_jpeg(synth_image(95, 14, 11), quality=90, app1=build_exif_app1(orientation=6)),
         )
     )
+    rows += [
+        ("ico_png", encode_ico([synth_image(101, 16, 16), synth_image(102, 32, 32)])),
+        ("ico_dib", encode_ico([synth_image(103, 24, 24)], dib=True)),
+        ("avif_hdr", build_avif_header(640, 360)),
+        ("heic_hdr", build_avif_header(99, 44, brand=b"heic")),
+        ("mp4_not_image", build_mp4_header(320, 200, 4500)),
+    ]
+    import struct as _st
+
+    tiff = b"II*\x00" + _st.pack("<I", 8) + _st.pack("<H", 2)
+    tiff += _st.pack("<HHI", 256, 3, 1) + _st.pack("<HH", 33, 0)
+    tiff += _st.pack("<HHI", 257, 4, 1) + _st.pack("<I", 21)
+    tiff += _st.pack("<I", 0)
+    rows.append(("tiff_hdr", tiff))
     return rows
 
 
@@ -2002,6 +2020,81 @@ def _audio_probe_values() -> str:
             "fmt": "VARCHAR",
             "channels": "BIGINT",
             "sample_rate": "BIGINT",
+            "duration_ms": "BIGINT",
+            "payload_bytes": "BIGINT",
+        },
+    ) + " ORDER BY media_id"
+
+
+def _video_probe_corpus_rows():
+    """MP4 headers (both box versions), Y4M streams (444 + 420), and
+    junk that must come back NULL."""
+    from mhtml_to_html_spark.media import encode_y4m
+    from mhtml_to_html_spark.media.codecs import synth_video
+    from mhtml_to_html_spark.media.probe import build_mp4_header
+
+    return [
+        ("mp4_v0", build_mp4_header(1280, 720, 5500, version=0)),
+        ("mp4_v1", build_mp4_header(640, 480, 7000, timescale=90000, version=1)),
+        ("y4m_444", encode_y4m(synth_video(5, n_frames=6, w=16, h=12), fps=30)),
+        (
+            "y4m_420",
+            encode_y4m(
+                synth_video(6, n_frames=4, w=14, h=10), fps=12, colorspace="C420jpeg"
+            ),
+        ),
+        ("junk_ftyp_only", b"\x00\x00\x00\x08ftypisom"),
+        ("junk_text", b"definitely not a video"),
+    ]
+
+
+def q_video_probe(spark, sf_dir):
+    """Header-only video metadata audit: video_meta over MP4 (box
+    walk) and Y4M (stream header + frame count) payloads — dims and
+    duration without decoding a single sample; NULLs for junk."""
+    from mhtml_to_html_spark.operators.multimodal import video_meta
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(data)) for mid, data in _video_probe_corpus_rows()],
+        "media_id string, bytes binary",
+    )
+    return (
+        video_meta(media)
+        .select(
+            "media_id",
+            "fmt",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            "duration_ms",
+            "payload_bytes",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _video_probe_values() -> str:
+    from mhtml_to_html_spark.media.probe import probe_video
+
+    rows = []
+    for mid, data in _video_probe_corpus_rows():
+        p = probe_video(data)
+        rows.append(
+            {
+                "media_id": mid,
+                "fmt": p[0] if p else None,
+                "width": p[1] if p else None,
+                "height": p[2] if p else None,
+                "duration_ms": p[3] if p else None,
+                "payload_bytes": len(data),
+            }
+        )
+    return _values_oracle(
+        rows,
+        {
+            "media_id": "VARCHAR",
+            "fmt": "VARCHAR",
+            "width": "BIGINT",
+            "height": "BIGINT",
             "duration_ms": "BIGINT",
             "payload_bytes": "BIGINT",
         },
@@ -3436,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "media_frames": q_media_frames,
         "audio_probe": q_audio_probe,
+        "video_probe": q_video_probe,
         "stream_windowed": q_stream_windowed,
         # rotated in: driver-unchecked in r2-r4 (judge-replayed only)
         "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
@@ -3937,6 +4031,7 @@ FROM ranked WHERE rk <= 3 ORDER BY host, rk""",
         "image_resize": _image_resize_values(),
         "media_frames": _media_frames_values(),
         "audio_probe": _audio_probe_values(),
+        "video_probe": _video_probe_values(),
         "stream_windowed": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

@@ -15,4 +15,5 @@ from .jpeg import (  # noqa: F401
     encode_jpeg_progressive,
 )
 from .png import decode_png, encode_png  # noqa: F401
-from .probe import probe_image  # noqa: F401
+from .ico import decode_ico, encode_ico  # noqa: F401
+from .probe import probe_audio, probe_image, probe_video  # noqa: F401

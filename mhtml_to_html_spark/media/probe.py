@@ -140,6 +140,21 @@ def probe_image(data: bytes) -> tuple[str, int, int] | None:
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         dims = _probe_webp(data)
         return ("webp", dims[0], dims[1]) if dims else None
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        dims = _probe_tiff(data)
+        return ("tiff", dims[0], dims[1]) if dims else None
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            dims = _probe_bmff_image(data)
+            return ("avif", dims[0], dims[1]) if dims else None
+        if brand in (b"heic", b"heix", b"mif1"):
+            dims = _probe_bmff_image(data)
+            return ("heic", dims[0], dims[1]) if dims else None
+        return None  # other ISO-BMFF (mp4...) is not a still image
+    if data[:4] == b"\x00\x00\x01\x00":
+        dims = _probe_ico(data)
+        return ("ico", dims[0], dims[1]) if dims else None
     # the synthetic raw format: <HH dims + exactly w*h*3 RGB bytes
     w, h = struct.unpack_from("<HH", data, 0)
     if w > 0 and h > 0 and len(data) == 4 + w * h * 3:
@@ -308,3 +323,190 @@ def build_mp3_frames(
              (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
         ) + tag_body
     return out + frame * n_frames
+
+
+def _probe_tiff(data: bytes) -> tuple[int, int] | None:
+    """Baseline TIFF IFD0 walk: ImageWidth (256) / ImageLength (257)."""
+    if data[:4] == b"II*\x00":
+        endian = "<"
+    elif data[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        return None
+    try:
+        off = struct.unpack_from(endian + "I", data, 4)[0]
+        count = struct.unpack_from(endian + "H", data, off)[0]
+        w = h = None
+        for i in range(count):
+            tag, typ = struct.unpack_from(endian + "HH", data, off + 2 + 12 * i)
+            vpos = off + 2 + 12 * i + 8
+            if typ == 3:  # SHORT
+                val = struct.unpack_from(endian + "H", data, vpos)[0]
+            elif typ == 4:  # LONG
+                val = struct.unpack_from(endian + "I", data, vpos)[0]
+            else:
+                continue
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+        return (w, h) if w and h else None
+    except struct.error:
+        return None
+
+
+def _iter_bmff_boxes(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def _probe_bmff_image(data: bytes) -> tuple[int, int] | None:
+    """AVIF/HEIC: walk meta → iprp → ipco for the first ispe
+    (image spatial extents) property."""
+
+    def find(pos, end, path):
+        for btype, body, bend in _iter_bmff_boxes(data, pos, end):
+            if btype == path[0]:
+                if len(path) == 1:
+                    return body, bend
+                # meta is a FullBox: 4 bytes version/flags before children
+                skip = 4 if btype == b"meta" else 0
+                return find(body + skip, bend, path[1:])
+        return None
+
+    got = find(0, len(data), [b"meta", b"iprp", b"ipco"])
+    if got is None:
+        return None
+    for btype, body, _bend in _iter_bmff_boxes(data, got[0], got[1]):
+        if btype == b"ispe":
+            w = int.from_bytes(data[body + 4 : body + 8], "big")
+            h = int.from_bytes(data[body + 8 : body + 12], "big")
+            return (w, h) if w and h else None
+    return None
+
+
+def _probe_ico(data: bytes) -> tuple[int, int] | None:
+    """ICO directory: dimensions of the LARGEST entry (0 means 256)."""
+    count = int.from_bytes(data[4:6], "little")
+    if count == 0 or len(data) < 6 + 16 * count:
+        return None
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        w = data[e] or 256
+        h = data[e + 1] or 256
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h)
+    return best
+
+
+def probe_video(data: bytes) -> tuple[str, int, int, int] | None:
+    """(fmt, width, height, duration_ms) from container headers — MP4
+    (ISO-BMFF: mvhd duration, tkhd track extents) and YUV4MPEG2 (frame
+    count x frame rate). None otherwise; never decodes samples."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        dur_ms = None
+        w = h = None
+        for btype, body, bend in _iter_bmff_boxes(data, 0, len(data)):
+            if btype != b"moov":
+                continue
+            for ctype, cbody, cend in _iter_bmff_boxes(data, body, bend):
+                if ctype == b"mvhd":
+                    ver = data[cbody]
+                    if ver == 1:
+                        scale = int.from_bytes(data[cbody + 20 : cbody + 24], "big")
+                        dur = int.from_bytes(data[cbody + 24 : cbody + 32], "big")
+                    else:
+                        scale = int.from_bytes(data[cbody + 12 : cbody + 16], "big")
+                        dur = int.from_bytes(data[cbody + 16 : cbody + 20], "big")
+                    if scale:
+                        dur_ms = dur * 1000 // scale
+                elif ctype == b"trak":
+                    for ttype, tbody, tend in _iter_bmff_boxes(data, cbody, cend):
+                        if ttype == b"tkhd":
+                            ver = data[tbody]
+                            base = tbody + (96 if ver == 1 else 84)
+                            tw = int.from_bytes(data[base - 8 : base - 4], "big") >> 16
+                            th = int.from_bytes(data[base - 4 : base], "big") >> 16
+                            if tw and th:
+                                w, h = tw, th
+        if dur_ms is None and w is None:
+            return None
+        return ("mp4", w or 0, h or 0, dur_ms or 0)
+    if data[:9] == b"YUV4MPEG2":
+        nl = data.find(b"\n")
+        if nl < 0:
+            return None
+        w = h = None
+        fps_num, fps_den = 25, 1
+        for token in data[9:nl].decode("ascii", "replace").split():
+            if token.startswith("W"):
+                w = int(token[1:])
+            elif token.startswith("H"):
+                h = int(token[1:])
+            elif token.startswith("F"):
+                num, den = token[1:].split(":")
+                fps_num, fps_den = int(num), int(den)
+        if not w or not h:
+            return None
+        n_frames = data.count(b"FRAME", nl)
+        return ("y4m", w, h, n_frames * 1000 * fps_den // max(1, fps_num))
+    return None
+
+
+def _bmff_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def build_avif_header(w: int, h: int, brand: bytes = b"avif") -> bytes:
+    """Minimal AVIF/HEIC header chain (ftyp + meta/iprp/ipco/ispe) —
+    probe-only fixture; no coded image item."""
+    ispe = _bmff_box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+    meta = _bmff_box(
+        b"meta", b"\x00\x00\x00\x00" + _bmff_box(b"iprp", _bmff_box(b"ipco", ispe))
+    )
+    return _bmff_box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand + b"mif1") + meta
+
+
+def build_mp4_header(
+    w: int, h: int, duration_ms: int, timescale: int = 1000, version: int = 0
+) -> bytes:
+    """Minimal MP4 moov header (mvhd + one trak/tkhd) — probe-only
+    fixture; no media data."""
+    dur = duration_ms * timescale // 1000
+    if version == 1:
+        mvhd = _bmff_box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(">IQ", timescale, dur)
+            + b"\x00" * 80,
+        )
+        tkhd = _bmff_box(
+            b"tkhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 84 + struct.pack(">II", w << 16, h << 16),
+        )
+    else:
+        mvhd = _bmff_box(
+            b"mvhd",
+            b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", timescale, dur)
+            + b"\x00" * 80,
+        )
+        tkhd = _bmff_box(
+            b"tkhd",
+            b"\x00\x00\x00\x00" + b"\x00" * 72 + struct.pack(">II", w << 16, h << 16),
+        )
+    return _bmff_box(b"ftyp", b"isom\x00\x00\x00\x00isom") + _bmff_box(
+        b"moov", mvhd + _bmff_box(b"trak", tkhd)
+    )

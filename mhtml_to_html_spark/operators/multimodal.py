@@ -122,6 +122,10 @@ def _decode_image(data: bytes):
         # dimensions are probe-able (media/probe.py); pixel decode
         # needs libwebp — the documented codec seam
         raise NotImplementedError("WebP pixel decode needs libwebp")
+    if data[:4] == b"\x00\x00\x01\x00":
+        from ..media.ico import decode_ico
+
+        return decode_ico(data)
     import struct
 
     import numpy as np
@@ -241,6 +245,9 @@ _MAGIC_FMT = (
     (b"\xff\xd8", "jpeg"),
     (b"P6", "ppm"),
     (b"BM", "bmp"),
+    (b"\x00\x00\x01\x00", "ico"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
 )
 
 
@@ -404,6 +411,54 @@ def audio_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "bytes").mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "media_id string, fmt string, width int, height int, "
+    "duration_ms long, payload_bytes long"
+)
+
+
+def video_meta(media: DataFrame) -> DataFrame:
+    """Header-only video metadata: MP4 (ISO-BMFF box walk — mvhd
+    duration, tkhd extents) and YUV4MPEG2 (stream header + frame
+    count). MP4 sample decode stays behind the ffmpeg seam; its
+    metadata does not. NULLs for unrecognized payloads. Map-only, no
+    shuffle."""
+
+    def run(batches):
+        import pandas as pd
+
+        from ..media.probe import probe_video
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(data)
+                p = probe_video(data)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "fmt": p[0] if p else None,
+                        "width": p[1] if p else None,
+                        "height": p[2] if p else None,
+                        "duration_ms": p[3] if p else None,
+                        "payload_bytes": len(data),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "duration_ms",
+                    "payload_bytes",
+                ],
+            )
+
+    return media.select("media_id", "bytes").mapInPandas(run, schema=VIDEO_META_SCHEMA)
 
 
 QUALITY_SCHEMA = (

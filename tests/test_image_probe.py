@@ -228,3 +228,98 @@ class TestAudioProbe:
         from mhtml_to_html_spark.media.probe import probe_audio
 
         assert probe_audio(data) is None
+
+
+class TestExtendedFormatProbes:
+    """TIFF, AVIF/HEIC (ISO-BMFF ispe), ICO directory, MP4/Y4M video."""
+
+    def test_tiff_both_endians(self):
+        import struct as st
+
+        def tiff(endian, magic):
+            d = magic + st.pack(endian + "I", 8)
+            d += st.pack(endian + "H", 2)
+            d += st.pack(endian + "HHI", 256, 3, 1) + st.pack(endian + "HH", 33, 0)
+            d += st.pack(endian + "HHI", 257, 4, 1) + st.pack(endian + "I", 21)
+            return d + st.pack(endian + "I", 0)
+
+        assert probe_image(tiff("<", b"II*\x00")) == ("tiff", 33, 21)
+        assert probe_image(tiff(">", b"MM\x00*")) == ("tiff", 33, 21)
+
+    def test_avif_heic(self):
+        from mhtml_to_html_spark.media.probe import build_avif_header
+
+        assert probe_image(build_avif_header(640, 360)) == ("avif", 640, 360)
+        assert probe_image(build_avif_header(99, 44, brand=b"heic")) == ("heic", 99, 44)
+
+    def test_mp4_is_not_a_still_image(self):
+        from mhtml_to_html_spark.media.probe import build_mp4_header
+
+        assert probe_image(build_mp4_header(320, 200, 4500)) is None
+
+    def test_ico_largest_entry(self):
+        from mhtml_to_html_spark.media import encode_ico
+
+        ico = encode_ico([synth_image(60, 16, 16), synth_image(61, 32, 32)])
+        assert probe_image(ico) == ("ico", 32, 32)
+
+    @pytest.mark.parametrize("version", [0, 1])
+    def test_mp4_video_probe(self, version):
+        from mhtml_to_html_spark.media import probe_video
+        from mhtml_to_html_spark.media.probe import build_mp4_header
+
+        mp4 = build_mp4_header(1280, 720, 5500, version=version)
+        assert probe_video(mp4) == ("mp4", 1280, 720, 5500)
+
+    def test_y4m_video_probe(self):
+        from mhtml_to_html_spark.media import probe_video
+        from mhtml_to_html_spark.media.codecs import encode_y4m, synth_video
+
+        y = encode_y4m(synth_video(5, n_frames=6, w=16, h=12), fps=30)
+        assert probe_video(y) == ("y4m", 16, 12, 200)
+
+    def test_video_probe_rejects_garbage(self):
+        from mhtml_to_html_spark.media import probe_video
+
+        assert probe_video(b"") is None
+        assert probe_video(b"\x00\x00\x00\x08ftypisom") is None  # ftyp only, no moov
+        assert probe_video(b"YUV4MPEG2 no-newline") is None
+
+
+class TestIcoCodec:
+    def test_png_entries_round_trip_largest(self):
+        from mhtml_to_html_spark.media import decode_ico, encode_ico
+
+        small, big = synth_image(60, 16, 16), synth_image(61, 32, 32)
+        out = decode_ico(encode_ico([small, big]))
+        assert out.shape == (32, 32, 4)
+        assert np.array_equal(out[..., :3], big)
+        assert (out[..., 3] == 255).all()
+
+    def test_dib_32bpp_rgba_exact(self):
+        from mhtml_to_html_spark.media import decode_ico, encode_ico
+
+        rgba = np.dstack([synth_image(62, 16, 16), synth_image(63, 16, 16)[..., 0]])
+        assert np.array_equal(decode_ico(encode_ico([rgba], dib=True)), rgba)
+
+    def test_palettized_dib_is_clear_error(self):
+        from mhtml_to_html_spark.media import decode_ico, encode_ico
+
+        ico = bytearray(encode_ico([synth_image(64, 8, 8)], dib=True))
+        # corrupt bpp field of the DIB header (offset: dir + biSize..)
+        entry_off = int.from_bytes(ico[18:22], "little")
+        ico[entry_off + 14 : entry_off + 16] = (8).to_bytes(2, "little")
+        with pytest.raises(ValueError, match="bpp"):
+            decode_ico(bytes(ico))
+
+    def test_ico_through_decode_image(self):
+        from mhtml_to_html_spark.media import encode_ico
+        from mhtml_to_html_spark.operators.multimodal import (
+            _decode_image,
+            sniff_format,
+        )
+
+        img = synth_image(65, 24, 24)
+        ico = encode_ico([img])
+        assert sniff_format(ico) == "ico"
+        assert np.array_equal(_decode_image(ico)[..., :3], img)
