@@ -381,3 +381,25 @@ def test_feeder_round_path_never_collects():
             ):
                 offenders.append((fn.name, node.lineno))
     assert not offenders, f"non-aggregate collect in feeder round path: {offenders}"
+
+
+@pytest.mark.spark
+def test_media_meta_probes_are_map_only(spark):
+    """The header-only metadata operators must plan as a single
+    mapInPandas over the scan — zero Exchange, zero decode stage: at
+    100 TB a metadata sweep is I/O-bound only if nothing shuffles."""
+    from mhtml_to_html_spark.operators.multimodal import (
+        audio_meta,
+        image_meta,
+        video_meta,
+    )
+
+    media = spark.createDataFrame(
+        [("m1", bytearray(b"\x00" * 16))], "media_id string, bytes binary"
+    )
+    for op in (image_meta, audio_meta, video_meta):
+        plan = plan_of(op(media))
+        assert "Exchange" not in plan, f"{op.__name__} shuffles a map-only probe"
+        # exactly one MapInPandas node in the plan tree (the formatted
+        # plan repeats the name in the node detail section)
+        assert plan.count("MapInPandas (") == 1
