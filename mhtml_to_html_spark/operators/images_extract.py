@@ -56,6 +56,11 @@ def _decode_batches(batches):
                     from ..operators.multimodal import _to_rgb3
 
                     pixels, fmt = _to_rgb3(decode_jpeg(data)), "jpeg"
+                elif data[:4] == b"\x00\x00\x01\x00":
+                    from ..media.ico import decode_ico
+                    from ..operators.multimodal import _to_rgb3
+
+                    pixels, fmt = _to_rgb3(decode_ico(data)), "ico"
                 else:
                     import struct
 

@@ -181,3 +181,39 @@ def test_progressive_jpeg_part_extracted(spark):
     assert (row["image_id"], row["fmt"], row["w"], row["h"]) == ("p", "jpeg", 28, 20)
     assert row["caption"] == "a progressive caption"
     assert row["phash"] == phash64(_to_rgb3(_decode_image(jpg_bytes)))
+
+
+@pytest.mark.spark
+def test_favicon_ico_part_extracted(spark):
+    """An image/x-icon favicon part (the reference inlines these as
+    data URIs; our image axis decodes them) flows split -> extract
+    with the largest-entry pixels behind the phash."""
+    from tests.helpers.mhtml_builder import encode_base64_body, mhtml_doc, part
+    from mhtml_to_html_spark.images.synth import phash64
+    from mhtml_to_html_spark.media import encode_ico
+    from mhtml_to_html_spark.operators.multimodal import _decode_image, _to_rgb3
+
+    ico_bytes = encode_ico([synth_image(305, 16, 16), synth_image(306, 32, 32)])
+    doc = mhtml_doc(
+        parts=[
+            part(
+                content_type="text/html",
+                location="https://example.com/",
+                body='<link rel="icon" href="favicon.ico">',
+            ),
+            part(
+                content_type="image/x-icon",
+                transfer_encoding="base64",
+                location="https://example.com/favicon.ico",
+                body=encode_base64_body(ico_bytes),
+            ),
+        ]
+    )
+    archives = spark.createDataFrame(
+        [("arc_ico", bytearray(doc))], "archive_id string, content binary"
+    )
+    rows = extract_images(split_archives(archives)).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert (row["image_id"], row["fmt"], row["w"], row["h"]) == ("favicon", "ico", 32, 32)
+    assert row["phash"] == phash64(_to_rgb3(_decode_image(ico_bytes)))
