@@ -1865,6 +1865,7 @@ def _media_frames_corpus_rows():
     decodes for real."""
     from mhtml_to_html_spark.images.synth import synth_image
     from mhtml_to_html_spark.media import encode_gif, encode_y4m, synth_video
+    from mhtml_to_html_spark.media.apng import encode_apng
 
     rows = [
         ("y4m_short", encode_y4m(synth_video(1, n_frames=3, w=12, h=10), fps=10)),
@@ -1882,6 +1883,13 @@ def _media_frames_corpus_rows():
             encode_gif(
                 [synth_image(40 + i, 14, 11) // 64 * 64 for i in range(5)],
                 delays_ms=[30, 50, 20, 40, 60],
+            ),
+        ),
+        (
+            "apng_anim",
+            encode_apng(
+                [synth_image(45 + i, 12, 9) for i in range(4)],
+                delays_ms=[25, 35, 45, 55],
             ),
         ),
     ]

@@ -6,6 +6,7 @@ from .codecs import (  # noqa: F401
     synth_audio,
     synth_video,
 )
+from .apng import decode_apng, encode_apng  # noqa: F401
 from .gif import decode_gif, encode_gif  # noqa: F401
 from .jpeg import (  # noqa: F401
     decode_jpeg,

@@ -145,6 +145,37 @@ def _scale_to_8bit(values: np.ndarray, depth: int) -> np.ndarray:
     return ((values.astype(np.uint16) * 255 + max_in // 2) // max_in).astype(np.uint8)
 
 
+def decode_raster(
+    raw: bytes,
+    width: int,
+    height: int,
+    depth: int,
+    ctype: int,
+    palette: np.ndarray | None = None,
+    trns: bytes | None = None,
+) -> np.ndarray:
+    """One non-interlaced filtered raster → (h, w, channels) uint8
+    (the per-frame primitive APNG shares with the still decoder)."""
+    channels = _CHANNELS[ctype]
+    bits_px = depth * channels
+    bpp, row_bytes = max(1, bits_px // 8), (width * bits_px + 7) // 8
+    rows = _unfilter(raw, width, height, bpp, row_bytes)
+    samples = _unpack_samples(rows, width, channels, depth)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette image missing PLTE")
+        idx = samples[..., 0]
+        if idx.max(initial=0) >= len(palette):
+            raise ValueError("palette index out of range")
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return _scale_to_8bit(samples, depth)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, channels) uint8; channels is 1 (gray),
     2 (gray+alpha), 3 (RGB), or 4 (RGBA). Palette images expand to

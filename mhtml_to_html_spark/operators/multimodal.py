@@ -76,13 +76,18 @@ def _decode_video_frames(data: bytes, n_frames: int, strict: bool):
         for out_idx, src_idx in enumerate(picks):
             yield out_idx, src_idx * frame_ms, frames[src_idx]
         return
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        from ..media.gif import decode_gif
+    if data[:6] in (b"GIF87a", b"GIF89a") or (
+        data[:8] == b"\x89PNG\r\n\x1a\n" and b"acTL" in data[:256]
+    ):
+        if data[:1] == b"\x89":
+            from ..media.apng import decode_apng as _decode_anim
+        else:
+            from ..media.gif import decode_gif as _decode_anim
 
-        frames, delays = decode_gif(data)
-        # frame k starts after the delays of frames 0..k-1 (GIF delay
-        # is post-display hold); zero-delay GIFs tick at the de-facto
-        # browser default of 100 ms
+        frames, delays = _decode_anim(data)
+        # frame k starts after the delays of frames 0..k-1 (the delay
+        # is a post-display hold in both formats); zero-delay frames
+        # tick at the de-facto browser default of 100 ms
         starts = [0]
         for d in delays[:-1]:
             starts.append(starts[-1] + (d or 100))
