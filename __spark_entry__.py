@@ -1762,6 +1762,7 @@ def q_image_probe(spark, sf_dir):
             F.col("width").cast("long").alias("width"),
             F.col("height").cast("long").alias("height"),
             F.col("orientation").cast("long").alias("orientation"),
+            F.col("n_frames").cast("long").alias("n_frames"),
             "payload_bytes",
         )
         .orderBy("media_id")
@@ -1770,14 +1771,19 @@ def q_image_probe(spark, sf_dir):
 
 def _image_probe_values() -> str:
     from mhtml_to_html_spark.media.exif import parse_exif
-    from mhtml_to_html_spark.media.probe import probe_image
+    from mhtml_to_html_spark.media.probe import probe_animation, probe_image
 
     rows = []
     for mid, data in _image_probe_corpus_rows():
         p = probe_image(data)
         orient = None
-        if p is not None and p[0] == "jpeg":
-            orient = parse_exif(data).get("orientation")
+        n_frames = None
+        if p is not None:
+            if p[0] == "jpeg":
+                orient = parse_exif(data).get("orientation")
+            anim = probe_animation(data)
+            if anim is not None:
+                n_frames = anim[0]
         rows.append(
             {
                 "media_id": mid,
@@ -1785,6 +1791,7 @@ def _image_probe_values() -> str:
                 "width": p[1] if p else None,
                 "height": p[2] if p else None,
                 "orientation": orient,
+                "n_frames": n_frames,
                 "payload_bytes": len(data),
             }
         )
@@ -1796,6 +1803,7 @@ def _image_probe_values() -> str:
             "width": "BIGINT",
             "height": "BIGINT",
             "orientation": "BIGINT",
+            "n_frames": "BIGINT",
             "payload_bytes": "BIGINT",
         },
     ) + " ORDER BY media_id"

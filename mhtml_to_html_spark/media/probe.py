@@ -510,3 +510,87 @@ def build_mp4_header(
     return _bmff_box(b"ftyp", b"isom\x00\x00\x00\x00isom") + _bmff_box(
         b"moov", mvhd + _bmff_box(b"trak", tkhd)
     )
+
+
+def _gif_animation(data: bytes):
+    """Walk GIF blocks without LZW decode: (n_frames, duration_ms).
+    Sub-blocks skip by their length bytes, so cost is O(blocks)."""
+    if len(data) < 13:
+        return None
+    flags = data[10]
+    pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+    n = len(data)
+    frames = 0
+    duration = 0
+    pending_delay = 0
+    try:
+        while pos < n:
+            b = data[pos]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension
+                label = data[pos + 1]
+                pos += 2
+                if label == 0xF9 and data[pos] >= 4:
+                    pending_delay = int.from_bytes(data[pos + 2 : pos + 4], "little") * 10
+                while data[pos]:  # sub-blocks
+                    pos += 1 + data[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                frames += 1
+                duration += pending_delay
+                pending_delay = 0
+                lflags = data[pos + 9]
+                pos += 10 + (3 * (2 << (lflags & 0x07)) if lflags & 0x80 else 0)
+                pos += 1  # LZW min code size
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+            else:
+                return None  # malformed block stream
+    except IndexError:
+        return None
+    return (frames, duration) if frames else None
+
+
+def probe_animation(data: bytes) -> tuple[int, int] | None:
+    """(n_frames, duration_ms) for animated containers — GIF (block
+    walk, no LZW decode), APNG (acTL + fcTL delays), animated WebP
+    (ANMF chunk walk) — or None for still/unknown payloads."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_animation(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        n_frames = None
+        duration = 0
+        pos = 8
+        n = len(data)
+        while pos + 8 <= n:
+            clen = int.from_bytes(data[pos : pos + 4], "big")
+            ctype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if ctype == b"acTL":
+                n_frames = int.from_bytes(data[body : body + 4], "big")
+            elif ctype == b"fcTL":
+                dnum = int.from_bytes(data[body + 20 : body + 22], "big")
+                dden = int.from_bytes(data[body + 22 : body + 24], "big") or 100
+                duration += dnum * 1000 // dden
+            elif ctype == b"IEND":
+                break
+            pos = body + clen + 4
+        return (n_frames, duration) if n_frames else None
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and data[12:16] == b"VP8X":
+        frames = 0
+        duration = 0
+        pos = 12
+        n = len(data)
+        while pos + 8 <= n:
+            fourcc = data[pos : pos + 4]
+            clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if fourcc == b"ANMF" and clen >= 16:
+                frames += 1
+                # frame duration: 24-bit LE at ANMF payload offset 12
+                duration += int.from_bytes(data[body + 12 : body + 15], "little")
+            pos = body + clen + (clen & 1)
+        return (frames, duration) if frames else None
+    return None

@@ -315,7 +315,7 @@ def decode_images(media: DataFrame, orient: bool = False) -> DataFrame:
 
 META_SCHEMA = (
     "media_id string, fmt string, width int, height int, "
-    "orientation int, payload_bytes long"
+    "orientation int, n_frames int, payload_bytes long"
 )
 
 
@@ -327,7 +327,9 @@ def image_meta(media: DataFrame) -> DataFrame:
     detection, orientation-aware dedup routing at 100 TB without
     paying for entropy decode). fmt/dims are NULL for unrecognized
     payloads; orientation is the EXIF tag for JPEGs that carry one
-    (APP1 walk — still header-only). Covers WebP (VP8/VP8L/VP8X) even
+    (APP1 walk — still header-only); n_frames counts animation frames
+    for GIF/APNG/animated-WebP (block walk, no LZW/zlib decode — the
+    still-vs-animated curation signal). Covers WebP (VP8/VP8L/VP8X) even
     though pixel decode for WebP is behind the libwebp seam.
     Embarrassingly parallel: input-split partitioning, no shuffle."""
 
@@ -335,7 +337,7 @@ def image_meta(media: DataFrame) -> DataFrame:
         import pandas as pd
 
         from ..media.exif import parse_exif
-        from ..media.probe import probe_image
+        from ..media.probe import probe_animation, probe_image
 
         for pdf in batches:
             rows = []
@@ -343,8 +345,13 @@ def image_meta(media: DataFrame) -> DataFrame:
                 data = bytes(data)
                 p = probe_image(data)
                 orient = None
-                if p is not None and p[0] == "jpeg":
-                    orient = parse_exif(data).get("orientation")
+                n_frames = None
+                if p is not None:
+                    if p[0] == "jpeg":
+                        orient = parse_exif(data).get("orientation")
+                    anim = probe_animation(data)
+                    if anim is not None:
+                        n_frames = anim[0]
                 rows.append(
                     {
                         "media_id": mid,
@@ -352,6 +359,7 @@ def image_meta(media: DataFrame) -> DataFrame:
                         "width": p[1] if p else None,
                         "height": p[2] if p else None,
                         "orientation": orient,
+                        "n_frames": n_frames,
                         "payload_bytes": len(data),
                     }
                 )
@@ -363,6 +371,7 @@ def image_meta(media: DataFrame) -> DataFrame:
                     "width",
                     "height",
                     "orientation",
+                    "n_frames",
                     "payload_bytes",
                 ],
             )

@@ -323,3 +323,54 @@ class TestIcoCodec:
         ico = encode_ico([img])
         assert sniff_format(ico) == "ico"
         assert np.array_equal(_decode_image(ico)[..., :3], img)
+
+
+class TestAnimationProbe:
+    def test_gif_apng_webp_animation_counts(self):
+        from mhtml_to_html_spark.media import encode_apng, encode_gif
+        from mhtml_to_html_spark.media.probe import probe_animation
+
+        pal = [synth_image(40 + i, 14, 11) // 64 * 64 for i in range(5)]
+        assert probe_animation(encode_gif(pal, delays_ms=[30, 50, 20, 40, 60])) == (5, 200)
+        assert probe_animation(encode_gif([pal[0]])) == (1, 0)  # still GIF
+        apng = encode_apng(
+            [synth_image(45 + i, 12, 9) for i in range(4)], delays_ms=[25, 35, 45, 55]
+        )
+        assert probe_animation(apng) == (4, 160)
+        assert probe_animation(encode_png(synth_image(1, 4, 4))) is None
+        assert probe_animation(encode_jpeg(synth_image(1, 8, 8))) is None
+
+    def test_animated_webp_anmf_walk(self):
+        from mhtml_to_html_spark.media.probe import probe_animation
+
+        def chunk(fourcc, payload):
+            pad = b"\x00" if len(payload) & 1 else b""
+            return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+        vp8x = chunk(
+            b"VP8X",
+            b"\x02\x00\x00\x00" + (15).to_bytes(3, "little") + (9).to_bytes(3, "little"),
+        )
+        anmf = lambda ms: chunk(b"ANMF", b"\x00" * 12 + ms.to_bytes(3, "little") + b"\x00")
+        inner = vp8x + anmf(40) + anmf(60)
+        webp = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+        assert probe_animation(webp) == (2, 100)
+
+    @pytest.mark.spark
+    def test_image_meta_n_frames(self, spark):
+        from mhtml_to_html_spark.media import encode_apng, encode_gif
+        from mhtml_to_html_spark.operators.multimodal import image_meta
+
+        pal = [synth_image(40 + i, 14, 11) // 64 * 64 for i in range(3)]
+        rows = [
+            ("anim_gif", encode_gif(pal, delays_ms=[10, 20, 30])),
+            ("anim_png", encode_apng([synth_image(45, 12, 9), synth_image(46, 12, 9)])),
+            ("still_jpg", encode_jpeg(synth_image(47, 10, 8))),
+        ]
+        media = spark.createDataFrame(
+            [(m, bytearray(d)) for m, d in rows], "media_id string, bytes binary"
+        )
+        got = {r["media_id"]: r for r in image_meta(media).collect()}
+        assert got["anim_gif"]["n_frames"] == 3
+        assert got["anim_png"]["n_frames"] == 2
+        assert got["still_jpg"]["n_frames"] is None
