@@ -1561,7 +1561,7 @@ def _image_codec_corpus_rows():
     uncompressed PPM/BMP/raw controls."""
     import numpy as np
 
-    from mhtml_to_html_spark.images.synth import encode_image, synth_image
+    from mhtml_to_html_spark.images.synth import encode_bmp, encode_image, synth_image
     from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
     from mhtml_to_html_spark.media.ico import encode_ico
     from mhtml_to_html_spark.media.jpeg import (
@@ -1629,6 +1629,8 @@ def _image_codec_corpus_rows():
         ("ico_dib32", encode_ico([synth_image(103, 24, 24)], dib=True)),
         ("ppm_control", encode_image(synth_image(86, 10, 8), "ppm")),
         ("bmp_control", encode_image(synth_image(87, 10, 8), "bmp")),
+        ("bmp_32", encode_bmp(synth_image(104, 11, 9), bpp=32)),
+        ("bmp_pal8", encode_bmp(synth_image(105, 11, 9) // 64 * 64, bpp=8)),
         ("raw_control", encode_image(synth_image(88, 10, 8), "raw")),
     ]
     return rows

@@ -73,32 +73,89 @@ def decode_ppm(data: bytes) -> np.ndarray:
 # --- BMP (24-bit, bottom-up, BGR) --------------------------------------------
 
 
-def encode_bmp(pixels: np.ndarray) -> bytes:
+def encode_bmp(pixels: np.ndarray, bpp: int = 24) -> bytes:
+    """(h, w, 3) RGB → BMP. bpp 24 (BGR), 32 (BGRA, opaque alpha), or
+    8 (palette built from the distinct colors; caps at 256)."""
     h, w = pixels.shape[:2]
-    row_size = (w * 3 + 3) & ~3
-    image_size = row_size * h
-    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
-    bgr = pixels[::-1, :, ::-1].astype(np.uint8)  # bottom-up, BGR
-    rows = np.zeros((h, row_size), dtype=np.uint8)
-    rows[:, : w * 3] = bgr.reshape(h, w * 3)
-    return header + info + rows.tobytes()
+    pixels = pixels.astype(np.uint8)
+    if bpp == 24:
+        row_size = (w * 3 + 3) & ~3
+        image_size = row_size * h
+        header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+        )
+        bgr = pixels[::-1, :, ::-1]  # bottom-up, BGR
+        rows = np.zeros((h, row_size), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        return header + info + rows.tobytes()
+    if bpp == 32:
+        image_size = w * 4 * h
+        header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 32, 0, image_size, 2835, 2835, 0, 0
+        )
+        bgra = np.dstack(
+            [pixels[..., ::-1], np.full((h, w), 255, np.uint8)]
+        )[::-1]
+        return header + info + bgra.tobytes()
+    if bpp == 8:
+        flat = pixels.reshape(-1, 3)
+        colors, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("8-bpp BMP needs <= 256 distinct colors")
+        row_size = (w + 3) & ~3
+        image_size = row_size * h
+        offset = 54 + 4 * len(colors)
+        header = struct.pack("<2sIHHI", b"BM", offset + image_size, 0, 0, offset)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, image_size, 2835, 2835, len(colors), 0
+        )
+        table = np.zeros((len(colors), 4), np.uint8)
+        table[:, :3] = colors[:, ::-1]  # BGRX entries
+        rows = np.zeros((h, row_size), dtype=np.uint8)
+        rows[:, :w] = idx.reshape(h, w)[::-1].astype(np.uint8)
+        return header + info + table.tobytes() + rows.tobytes()
+    raise ValueError(f"unsupported bpp {bpp}")
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP → (h, w, 3) RGB uint8: 24-bpp BGR, 32-bpp BGRA (alpha
+    dropped — BMP alpha is rarely meaningful), and 8-bpp palette;
+    bottom-up and top-down (negative height) rows."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     offset = struct.unpack_from("<I", data, 10)[0]
+    bisize = struct.unpack_from("<I", data, 14)[0]
     w, h = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
-    if bpp != 24:
-        raise ValueError("unsupported bpp")
-    row_size = (w * 3 + 3) & ~3
-    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * abs(h), offset=offset)
-    rows = rows.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS (default masks)
+        raise ValueError(f"unsupported BMP compression {compression}")
+    ah = abs(h)
+    if bpp == 24:
+        row_size = (w * 3 + 3) & ~3
+        rows = np.frombuffer(data, dtype=np.uint8, count=row_size * ah, offset=offset)
+        out = rows.reshape(ah, row_size)[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]
+    elif bpp == 32:
+        rows = np.frombuffer(data, dtype=np.uint8, count=w * 4 * ah, offset=offset)
+        out = rows.reshape(ah, w, 4)[:, :, [2, 1, 0]]
+    elif bpp == 8:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        table = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=14 + bisize
+        ).reshape(-1, 4)
+        row_size = (w + 3) & ~3
+        rows = np.frombuffer(data, dtype=np.uint8, count=row_size * ah, offset=offset)
+        idx = rows.reshape(ah, row_size)[:, :w]
+        if idx.max(initial=0) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        out = table[idx][:, :, [2, 1, 0]]
+    else:
+        raise ValueError(f"unsupported bpp {bpp}")
     if h > 0:
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR → RGB
+        out = out[::-1]
+    return out.copy()
 
 
 # --- raw / lossy / dispatch ---------------------------------------------------

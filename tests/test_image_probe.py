@@ -374,3 +374,48 @@ class TestAnimationProbe:
         assert got["anim_gif"]["n_frames"] == 3
         assert got["anim_png"]["n_frames"] == 2
         assert got["still_jpg"]["n_frames"] is None
+
+
+class TestBmpVariants:
+    def test_24_32_round_trip_exact(self):
+        from mhtml_to_html_spark.images.synth import decode_bmp, encode_bmp
+
+        img = synth_image(80, 21, 13)
+        for bpp in (24, 32):
+            assert np.array_equal(decode_bmp(encode_bmp(img, bpp=bpp)), img)
+
+    def test_8bpp_palette_round_trip(self):
+        from mhtml_to_html_spark.images.synth import decode_bmp, encode_bmp
+
+        pal = synth_image(81, 21, 13) // 64 * 64
+        assert np.array_equal(decode_bmp(encode_bmp(pal, bpp=8)), pal)
+
+    def test_top_down_negative_height(self):
+        import struct as st
+
+        from mhtml_to_html_spark.images.synth import decode_bmp, encode_bmp
+
+        img = synth_image(82, 10, 7)
+        data = bytearray(encode_bmp(img))
+        st.pack_into("<i", data, 22, -7)
+        assert np.array_equal(decode_bmp(bytes(data)), img[::-1])
+
+    def test_rle_compression_is_clear_error(self):
+        import struct as st
+
+        from mhtml_to_html_spark.images.synth import decode_bmp, encode_bmp
+
+        data = bytearray(encode_bmp(synth_image(83, 8, 8) // 64 * 64, bpp=8))
+        st.pack_into("<I", data, 30, 1)  # BI_RLE8
+        with pytest.raises(ValueError, match="compression"):
+            decode_bmp(bytes(data))
+
+    def test_through_decode_image_and_probe(self):
+        from mhtml_to_html_spark.images.synth import encode_bmp
+        from mhtml_to_html_spark.operators.multimodal import _decode_image
+
+        img = synth_image(84, 12, 9)
+        for bpp in (24, 32, 8):
+            data = encode_bmp(img // 64 * 64 if bpp == 8 else img, bpp=bpp)
+            assert probe_image(data) == ("bmp", 12, 9)
+            assert _decode_image(data).shape == (9, 12, 3)
