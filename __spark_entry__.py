@@ -1564,6 +1564,7 @@ def _image_codec_corpus_rows():
     from mhtml_to_html_spark.images.synth import encode_bmp, encode_image, synth_image
     from mhtml_to_html_spark.media import encode_gif, encode_jpeg, encode_png
     from mhtml_to_html_spark.media.ico import encode_ico
+    from mhtml_to_html_spark.media.tiff import encode_tiff
     from mhtml_to_html_spark.media.jpeg import (
         encode_jpeg_cmyk,
         encode_jpeg_multiscan,
@@ -1631,6 +1632,9 @@ def _image_codec_corpus_rows():
         ("bmp_control", encode_image(synth_image(87, 10, 8), "bmp")),
         ("bmp_32", encode_bmp(synth_image(104, 11, 9), bpp=32)),
         ("bmp_pal8", encode_bmp(synth_image(105, 11, 9) // 64 * 64, bpp=8)),
+        ("tiff_rgb", encode_tiff(synth_image(106, 13, 10))),
+        ("tiff_packbits", encode_tiff(synth_image(107, 13, 10), packbits=True)),
+        ("tiff_gray", encode_tiff(synth_image(108, 12, 9)[..., 0])),
         ("raw_control", encode_image(synth_image(88, 10, 8), "raw")),
     ]
     return rows

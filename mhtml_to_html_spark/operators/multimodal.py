@@ -131,6 +131,10 @@ def _decode_image(data: bytes):
         from ..media.ico import decode_ico
 
         return decode_ico(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..media.tiff import decode_tiff
+
+        return decode_tiff(data)
     import struct
 
     import numpy as np
