@@ -701,6 +701,13 @@ def crawl_spark(
         n_blocked = 0
         newly_blocked = None
         if use_robots:
+            # the new-hosts count below and step 5's politeness
+            # materialization BOTH consume the candidate pipeline; cut
+            # it once (lazily — the count materializes it) so robots-on
+            # rounds don't re-evaluate dedup + seen-prune + explode per
+            # consumer. This was the dominant robots-on overhead after
+            # the round-5 crawl-loop speedups shrank everything else.
+            candidates = candidates.localCheckpoint(eager=False)
             new_hosts = (
                 candidates.select("host").distinct().join(robots_cache, "host", "left_anti")
             )
