@@ -53,6 +53,8 @@ def _probe_jpeg(data: bytes) -> tuple[int, int] | None:
         if pos + 2 > n:
             return None
         seglen = struct.unpack_from(">H", data, pos)[0]
+        if seglen < 2:
+            return None  # corrupt length would loop forever
         if marker in _JPEG_SOF:
             if pos + 7 > n:
                 return None

@@ -121,6 +121,10 @@ def encode_tiff(pixels: np.ndarray, packbits: bool = False) -> bytes:
     if pixels.ndim == 2:
         pixels = pixels[..., None]
     h, w, spp = pixels.shape
+    if spp == 2:
+        # 2-sample inline BitsPerSample would need two u16s in the
+        # value slot, which the writer below does not emit
+        raise ValueError("encode_tiff supports 1, 3, or 4 samples per pixel")
     raw = pixels.tobytes()
     if packbits:
         # row-aligned PackBits: literal runs capped at 128 bytes (valid,

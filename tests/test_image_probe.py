@@ -505,3 +505,10 @@ class TestTiffCodec:
         img = synth_image(93, 14, 10)
         out = _decode_image(encode_tiff(img, packbits=True))
         assert np.array_equal(out, img)
+
+
+def test_jpeg_probe_zero_length_segment_terminates():
+    """A corrupt zero-length marker segment must return None, not spin
+    (the probe runs inside Spark workers on arbitrary crawled bytes)."""
+    assert probe_image(b"\xff\xd8\xff\xe0\x00\x00rest") is None
+    assert probe_image(b"\xff\xd8\xff\xe0\x00\x01rest") is None
