@@ -19,25 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text import spread_small as _spread_small
 from .text import tokens_col
 
 MINHASH_K = 12
 MINHASH_BAND_SIZE = 2
-
-
-def _spread_small(docs: DataFrame) -> DataFrame:
-    """Spread a few-split input across the cluster ONLY when the scan
-    under-partitioned it (a toy parquet arrives as one split, so the
-    per-token hash work would run on one core). At real scale the scan
-    already yields splits sized by spark.sql.files.maxPartitionBytes
-    and this is a no-op — an unconditional repartition here would be a
-    gratuitous full round-robin shuffle of the corpus text before any
-    hashing (the round-2 simhash/minhash bench regressions)."""
-    spark = docs.sparkSession
-    n_par = max(spark.sparkContext.defaultParallelism, 4)
-    if docs.rdd.getNumPartitions() >= n_par:
-        return docs
-    return docs.repartition(n_par)
 
 
 def shingles_col(n: int = 3):

@@ -24,6 +24,36 @@ LANG_STOPWORDS = {
 
 TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+# every character the punctuation ratio does NOT count: the JVM `translate`
+# char-map removes exactly these, so length(translate(text, ALNUM_WS, ''))
+# equals the old n_chars - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', ''))
+# — same integer for every input (Java \s = [ \t\n\x0B\f\r]) at ~7x less CPU
+# (regexp_replace walks a Pattern match loop per char; translate is one map
+# lookup per char). Equality pinned by tests incl. unicode/null/empty cases.
+ALNUM_WS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\x0b\x0c\r"
+)
+
+
+def spread_small(docs: DataFrame) -> DataFrame:
+    """Spread a few-split input across the cluster ONLY when the scan
+    under-partitioned it (a toy parquet arrives as one or two splits,
+    so a heavy per-row projection would run on one or two cores). At
+    real scale the scan already yields splits sized by
+    spark.sql.files.maxPartitionBytes and this is a no-op — an
+    unconditional repartition would be a gratuitous full round-robin
+    shuffle of the corpus text (the round-2 simhash/minhash bench
+    regressions). Shared by the dedup operators (historically
+    dedup._spread_small) and, since r6, the map-heavy text projections:
+    at sf1 the documents scan is 2 splits, so quality/repetition/
+    curation ran on 2 of 32 cores (docs_curate 6.3s -> 2.0s from the
+    spread alone)."""
+    spark = docs.sparkSession
+    n_par = max(spark.sparkContext.defaultParallelism, 4)
+    if docs.rdd.getNumPartitions() >= n_par:
+        return docs
+    return docs.repartition(n_par)
+
 
 def tokens_col(text_col: str = "text"):
     """Whitespace tokens of the lower-cased text."""
@@ -33,7 +63,7 @@ def tokens_col(text_col: str = "text"):
 def token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_tokens): whitespace count + a BPE-ish
     regex token count (letters runs, digit runs, single punctuation)."""
-    return docs.select(
+    return spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(tokens_col()).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0))
@@ -46,9 +76,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality signals with
     a combined [0,1] score."""
     n_chars = F.length("text").cast("double")
-    n_punct = (n_chars - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9\\s]", ""))).cast(
-        "double"
-    )
+    # translate char-map == the old regexp_replace count, ~7x cheaper
+    # (see ALNUM_WS note)
+    n_punct = F.length(F.translate(F.col("text"), ALNUM_WS, "")).cast("double")
     toks = tokens_col()
     n_tokens = F.size(toks).cast("double")
     stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
@@ -56,7 +86,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 6)
     stop_hit = F.round(n_stop / F.lit(len(LANG_STOPWORDS["en"])), 6)
     len_score = F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 6)
-    return docs.select(
+    return spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n_tokens.cast("long").alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
@@ -73,7 +103,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     of distinct tokens hitting its stopword list; highest count wins
     (ties broken by language code)."""
     toks = F.array_distinct(tokens_col())
-    scored = docs.select(
+    scored = spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         *[
             F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words]))).alias(f"hits_{lang}")
@@ -104,7 +134,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     whitespace-normalized lower-cased text (rolling-hash analogue that
     both engines compute identically)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
-    return docs.select(
+    return spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
@@ -175,7 +205,7 @@ def repetition_metrics(docs: DataFrame, n: int = 2, top_frac_max: float = 0.18) 
     # split per gram (5x slower at sf0.1). The aliases are non-cheap
     # and multiply-referenced, so CollapseProject keeps the Projects
     # separate — one evaluation each, still a single stage.
-    g = docs.select(
+    g = spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         tokens_col().alias("toks"),
     ).select(

@@ -296,7 +296,13 @@ def test_curate_documents_matches_standalone_signals(spark):
         if r["keep"]:
             assert r["reject_reason"] is None
     plan = curate_documents(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan and "Join" not in plan
+    # narrow-pipeline contract: no joins and no keyed shuffle anywhere —
+    # the only allowed Exchange is the adaptive round-robin input spread
+    # (text.spread_small), which moves the slim (doc_id, text) rows once
+    # when the scan under-partitioned a toy input and is a no-op at scale
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1
 
 
 @pytest.mark.spark

@@ -324,7 +324,8 @@ def test_bench_action_is_pruning_proof(spark):
     plan_q = plan_of(pruneproof(entrymod.q_text_quality(spark, SF_DIR)))
     read_schema = [ln for ln in plan_q.splitlines() if "ReadSchema" in ln][0]
     assert "text" in read_schema, "bench action let Catalyst prune the text column"
-    assert "regexp_replace" in plan_q, "quality expressions pruned from benched plan"
+    # the punct-count signal (translate char map since r6) must survive
+    assert "translate" in plan_q, "quality expressions pruned from benched plan"
 
     # and the hole stays detectable: a bare count over the same query
     # DOES collapse to a scan-only count (this is what bench.py used to
