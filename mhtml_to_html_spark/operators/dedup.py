@@ -16,6 +16,8 @@ Scale notes (the 100 TB shapes):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +44,61 @@ def shingles_col(n: int = 3):
     )
 
 
+def _java_ws_split(text: str):
+    """Python twin of ``tokens_col``: split on the Java-\\s class
+    ([ \\t\\n\\x0B\\f\\r]+) of the lower-cased text, empties dropped.
+    The explicit character class (not Python's unicode \\s) keeps the
+    token boundaries bit-identical to the JVM expression."""
+    import re
+
+    return [t for t in re.split("[ \t\n\x0b\x0c\r]+", text.lower()) if t]
+
+
+@functools.lru_cache(maxsize=1 << 20)
+def _shingle_hashes(shingle: str, k: int) -> tuple:
+    """The k portable minhash terms of one shingle:
+    md5(shingle || '|' || i) hex for i in 0..k-1 — exactly the JVM
+    expression in :func:`minhash_signatures_agg`. Cached per worker:
+    shingles repeat heavily across documents (boilerplate, small
+    vocabularies), so the md5 work amortizes corpus-wide — the classic
+    heavyweight-init-once-per-task contract (guide §4.5), keyed on
+    content, never on the input file."""
+    import hashlib
+
+    return tuple(
+        hashlib.md5(f"{shingle}|{i}".encode()).hexdigest() for i in range(k)
+    )
+
+
+def _minhash_sig_batches(batches, k: int, n: int):
+    """mapInPandas kernel for :func:`minhash_signatures`: per document,
+    distinct word n-gram shingles -> elementwise min of the cached
+    k-term hash tuples. Documents with fewer than ``n`` tokens emit no
+    row (the explode-of-empty-array semantics of the aggregation
+    form). Pure Python + hashlib: the JVM shape spent ~65% of its
+    wall building shingles through interpreted HOF lambdas
+    (transform/element_at/concat_ws are evaluated outside whole-stage
+    codegen); here a batch is one tight loop and the md5s are mostly
+    cache hits."""
+    import pandas as pd
+
+    cols = ["doc_id"] + [f"mh{i}" for i in range(k)]
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            toks = _java_ws_split(text)
+            if len(toks) < n:
+                continue
+            shingles = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            hashes = [_shingle_hashes(s, k) for s in shingles]
+            out.append((int(doc_id), *map(min, zip(*hashes))))
+        yield pd.DataFrame(out, columns=cols)
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: groups of byte-identical normalized
     text, canonical = lowest doc_id (deterministic min, not first())."""
@@ -61,11 +118,25 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k portable minhashes: min over shingles of md5(shingle || '|' || i).
     Fixed-width hex strings order like the integers they encode.
 
-    Shape: explode shingles once, then ONE partial-aggregating groupBy
-    computing all k mins — Catalyst's projection collapse would
-    otherwise inline the whole shingle expression k times, and the
-    map-side combine means only k hashes per doc reach the shuffle.
-    """
+    Shape (r6): MAP-ONLY — one vectorized kernel computes each doc's
+    shingle set and all k mins in place, so there is no shingle
+    explode and no aggregation shuffle at all (the r5 shape shuffled
+    k hashes per doc; this one shuffles nothing). The per-worker
+    shingle-hash cache (:func:`_shingle_hashes`) amortizes the k md5s
+    across every document sharing a shingle. Bit-equality with the
+    aggregation form is pinned by
+    tests/test_plans.py::test_minhash_kernel_matches_aggregation_form."""
+    return _spread_small(docs).select("doc_id", "text").mapInPandas(
+        functools.partial(_minhash_sig_batches, k=k, n=3),
+        schema="doc_id long, " + ", ".join(f"mh{i} string" for i in range(k)),
+    )
+
+
+def minhash_signatures_agg(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """The r5 aggregation form of :func:`minhash_signatures` — kept as
+    the JVM-expression reference the Python kernel is differentially
+    tested against (explode shingles once, ONE partial-aggregating
+    groupBy computing all k mins)."""
     sh = _spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(shingles_col()).alias("shingle")
     )
@@ -219,10 +290,67 @@ def ngram_jaccard_pairs(
     )
 
 
+@functools.lru_cache(maxsize=1 << 20)
+def _simhash_token_value(tok: str) -> int:
+    """16-bit token value: first 4 hex chars of md5(token) — the JVM
+    conv(substring(md5(tok), 1, 4), 16, 10) expression. Cached per
+    worker (tokens repeat corpus-wide)."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+
+
+def _simhash_batches(batches, bits: int):
+    """mapInPandas kernel for :func:`simhash`: per document, the exact
+    integer bit-sums over token OCCURRENCES (count x (2*bit-1) per
+    distinct token), signature bit b set when the sum is > 0 —
+    bit-identical to the explode+sum aggregation form
+    (:func:`simhash_agg`), with no explode and no shuffle."""
+    from collections import Counter
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            toks = _java_ws_split(text)
+            if not toks:
+                continue
+            sums = [0] * bits
+            for tok, cnt in Counter(toks).items():
+                v = _simhash_token_value(tok)
+                for b in range(bits):
+                    sums[b] += cnt if (v >> b) & 1 else -cnt
+            sig = 0
+            for b in range(bits):
+                if sums[b] > 0:
+                    sig |= 1 << b
+            out.append((int(doc_id), sig))
+        yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens: per-token 16-bit value from the
     first 4 hex chars of md5(token); signature bit b = sign of the sum
-    of (2*bit_b - 1) over tokens. Portable bit arithmetic (div/mod)."""
+    of (2*bit_b - 1) over tokens.
+
+    Shape (r6): MAP-ONLY — the per-doc bit-sums run in one vectorized
+    kernel with a per-worker token-value cache, so the token explode
+    and the 16-column aggregation shuffle are gone. Bit-equality with
+    the aggregation form is pinned by
+    tests/test_plans.py::test_simhash_kernel_matches_aggregation_form."""
+    return _spread_small(docs).select("doc_id", "text").mapInPandas(
+        functools.partial(_simhash_batches, bits=bits),
+        schema="doc_id long, simhash long",
+    )
+
+
+def simhash_agg(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """The r5 aggregation form of :func:`simhash` — kept as the
+    JVM-expression reference the Python kernel is differentially
+    tested against. Portable bit arithmetic (div/mod)."""
     tok = _spread_small(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens_col()).alias("tok")
     )

@@ -71,16 +71,64 @@ def test_aggregation_is_map_side_partial(spark):
 
 
 @pytest.mark.spark
-def test_minhash_partial_aggregation(spark):
+def test_minhash_signatures_map_only(spark):
     from mhtml_to_html_spark.operators.dedup import minhash_signatures
 
     plan = plan_of(minhash_signatures(spark.read.parquet(f"{SF_DIR}/documents.parquet")))
-    # the work-spreading repartition moves small doc rows; the ONE
-    # aggregation shuffle is keyed on doc_id with map-side partial min,
-    # so only 12 hashes per doc cross it, never the shingles
-    assert plan.count("+- Exchange") == 2  # repartition + groupBy
-    assert "partial_min" in plan
-    assert plan.index("partial_min") > plan.index("RoundRobinPartitioning")
+    # r6 shape: the signature kernel computes every doc's k mins in
+    # place — no shingle explode, no aggregation shuffle; the only
+    # allowed Exchange is the adaptive work-spreading repartition of
+    # the slim (doc_id, text) rows (a no-op at real scan widths)
+    assert "hashpartitioning" not in plan
+    assert plan.count("+- Exchange") <= 1
+    assert "Generate" not in plan  # no explode anywhere
+
+
+@pytest.mark.spark
+def test_minhash_kernel_matches_aggregation_form(spark):
+    """The Python signature kernel must be bit-identical to the JVM
+    explode+groupBy reference on a corpus exercising short docs, null
+    text, unicode, repeated shingles, and mixed whitespace."""
+    from mhtml_to_html_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_agg,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "a b"),  # < 3 tokens: no signature row
+        (3, None),  # null text: no signature row
+        (4, "x\ty z\nw  v\x0b u \x0c t\r s"),  # every Java \s char
+        (5, "Héllo WÖRLD ünïcödé case Mixing TEST tokens"),
+        (6, "go go go go go go"),  # one distinct shingle
+        (7, "spark hash join spark hash join spark hash join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kern = sorted(map(tuple, minhash_signatures(docs).collect()))
+    ref = sorted(map(tuple, minhash_signatures_agg(docs).collect()))
+    assert kern == ref
+    assert len(kern) == 6  # docs 2 and 3 emit no row in both forms
+
+
+@pytest.mark.spark
+def test_simhash_kernel_matches_aggregation_form(spark):
+    from mhtml_to_html_spark.operators.dedup import simhash, simhash_agg
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),  # no tokens: no row
+        (2, None),  # null text: no row
+        (3, "x\ty z\nw  v\x0b u \x0c t\r s"),
+        (4, "Héllo WÖRLD ünïcödé case Mixing TEST tokens"),
+        (5, "repeat repeat repeat distinct"),
+        (6, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kern = sorted(map(tuple, simhash(docs).collect()))
+    ref = sorted(map(tuple, simhash_agg(docs).collect()))
+    assert kern == ref
+    assert len(kern) == 5
 
 
 @pytest.mark.spark
