@@ -44,10 +44,13 @@ def _encode_single_byte(value: str, codec: str) -> bytes:
     return value.encode(codec)
 
 
-def image_meta(global_img_id: int, dim_scale: int = 1) -> dict:
+def image_meta(global_img_id: int, dim_scale: int = 1, with_phash: bool = True) -> dict:
     """Golden row for one image (input_hint schema). ``dim_scale``
     multiplies the dimensions (bench corpora use web-realistic sizes;
-    the correctness corpus keeps scale 1)."""
+    the correctness corpus keeps scale 1). ``with_phash=False`` skips
+    the phash (archive SYNTHESIS never serializes it — computing it
+    there was ~20% of the corpus-build CPU inside the timed decode
+    units; the golden table keeps the default)."""
     rng = np.random.default_rng(7_000 + global_img_id)
     w = int(rng.integers(16, 48)) * dim_scale
     h = int(rng.integers(12, 40)) * dim_scale
@@ -61,7 +64,7 @@ def image_meta(global_img_id: int, dim_scale: int = 1) -> dict:
         "h": h,
         "fmt": fmt,
         "caption": caption_for(global_img_id),
-        "phash": phash64(pixels),
+        "phash": phash64(pixels) if with_phash else None,
     }
 
 
@@ -80,9 +83,13 @@ def build_archive(archive_idx: int, images_per_archive: int = 3, dim_scale: int 
     doc_location = f"{host}/page{archive_idx}.html"
 
     img_ids = [archive_idx * images_per_archive + k for k in range(images_per_archive)]
+    # one image_meta pass per image (no phash — never serialized into
+    # the archive) shared by the figure captions AND the caption parts
+    # below; caption_for previously re-derived its rng per figure
+    metas = {gid: image_meta(gid, dim_scale, with_phash=False) for gid in img_ids}
     figures = "".join(
         f'<figure><img src="img_{gid:06d}.{_FMTS[gid % len(_FMTS)]}">'
-        f"<figcaption>{caption_for(gid)}</figcaption></figure>"
+        f"<figcaption>{metas[gid]['caption']}</figcaption></figure>"
         for gid in img_ids
     )
     doc_html = (
@@ -113,7 +120,7 @@ def build_archive(archive_idx: int, images_per_archive: int = 3, dim_scale: int 
         doc_body,
     ]
     for gid in img_ids:
-        meta = image_meta(gid, dim_scale)
+        meta = metas[gid]
         fmt = meta["fmt"]
         ct = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp", "raw": "application/octet-stream", "lossy": "image/x-portable-pixmap"}[fmt]
         b64 = base64.b64encode(meta["bytes"]).decode("ascii")

@@ -200,6 +200,7 @@ def stream_crawl_job(
     decode_payload: bool = False,
     payload_images: int = 2,
     payload_scale: int = 1,
+    state_partitions: int | None = None,
 ) -> dict:
     """Run the streaming crawl to fixpoint (or ``max_rounds``);
     returns ``{"rounds": [...], "fixpoint": bool, "next_round": int}``
@@ -211,6 +212,21 @@ def stream_crawl_job(
 
     src, sink, ckpt = f"{work_dir}/src", f"{work_dir}/sink", f"{work_dir}/ckpt"
     meta_path = _state_meta_path(work_dir)
+
+    # State-shard width for the politeness gate. The stateful shuffle
+    # inherits spark.sql.shuffle.partitions at the checkpoint's FIRST
+    # batch, and every micro-batch then pays a fixed per-shard cost
+    # (state-store commit + delta file + one gate task) regardless of
+    # row count — so the right default is the number of executor slots
+    # (defaultParallelism), not the SQL shuffle width tuned for joins
+    # (r6 profile: 64 shards -> 32 on local[32] cut ~0.7s/round of
+    # pure commit overhead at identical results). Raise
+    # ``state_partitions`` explicitly when the host space is large
+    # enough that per-shard seen-sets need finer spreading; an existing
+    # checkpoint keeps the width it was created with (Spark pins it in
+    # the offset metadata), so resume is unaffected.
+    if state_partitions is None:
+        state_partitions = spark.sparkContext.defaultParallelism
 
     if resume and os.path.exists(meta_path):
         with open(meta_path) as fh:
@@ -250,24 +266,33 @@ def stream_crawl_job(
                 f"{sink}/r{_r:06d}"
             )
 
-        q = (
-            stream_frontier_fetch(
-                spark.readStream.schema(_FRONTIER_SCHEMA).parquet(src),
-                host_budget=host_budget,
-                use_robots=use_robots,
-                fetcher=fetcher,
-                discover=discover,
-                decode_payload=decode_payload,
-                payload_images=payload_images,
-                payload_scale=payload_scale,
+        # scope the shard width to the streaming query only: the
+        # barrier jobs below keep the session's own shuffle width
+        shuffle_conf = "spark.sql.shuffle.partitions"
+        prev_shuffle = spark.conf.get(shuffle_conf)
+        spark.conf.set(shuffle_conf, str(state_partitions))
+        try:
+            q = (
+                stream_frontier_fetch(
+                    spark.readStream.schema(_FRONTIER_SCHEMA).parquet(src),
+                    host_budget=host_budget,
+                    use_robots=use_robots,
+                    fetcher=fetcher,
+                    discover=discover,
+                    decode_payload=decode_payload,
+                    payload_images=payload_images,
+                    payload_scale=payload_scale,
+                )
+                .writeStream.foreachBatch(to_sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.foreachBatch(to_sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(pass_timeout_s):
+            terminated = q.awaitTermination(pass_timeout_s)
+        finally:
+            spark.conf.set(shuffle_conf, prev_shuffle)
+        if not terminated:
             # committing feeder state off a partially-written sink
             # would silently drop the in-flight URLs forever (they are
             # already in the gate's seen state) — fail loudly instead
