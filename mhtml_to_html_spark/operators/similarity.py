@@ -41,10 +41,14 @@ def cosine_similarity_col(a, b):
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Brute-force top-k by cosine similarity to the embedding of
     ``query_vec_id``; the 1-row query side is broadcast."""
+    from .text import spread_small
+
     query = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec")
     )
-    scored = embeddings.filter(F.col("vec_id") != query_vec_id).crossJoin(
+    # the per-row dot/norm folds are the heavy part; spread an
+    # under-partitioned toy scan so they use every core (no-op at scale)
+    scored = spread_small(embeddings.filter(F.col("vec_id") != query_vec_id)).crossJoin(
         F.broadcast(query)
     )
     return (

@@ -106,6 +106,17 @@ def _scripted_children_batches(batches, fanout: int, n_hosts: int):
         yield pd.DataFrame(rows, columns=cols)
 
 
+_COUNTER_AGGS = lambda: [  # noqa: E731 — shared by the agg and observe paths
+    F.count(F.lit(1)).alias("n"),
+    F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+    F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
+    F.sum(F.when(F.col("status") == "deferred", 1).otherwise(0)).alias("deferred"),
+    F.sum(F.when(F.col("status") == "blocked", 1).otherwise(0)).alias("blocked"),
+]
+
+_COUNTER_KEYS = ("n", "ok", "failed", "deferred", "blocked")
+
+
 def _next_frontier(
     out: DataFrame,
     disc: int,
@@ -113,21 +124,19 @@ def _next_frontier(
     fanout: int,
     n_hosts: int,
     dist_index_threshold: int,
+    counters: dict | None = None,
 ) -> tuple[DataFrame, int, dict]:
-    """One round's barrier, all DataFrame ops: counters via ONE agg,
-    next frontier = deferred ∪ children-of-ok with ``disc_seq``
-    continuing the global counter in (parent fetch order, document
-    order). Returns (frontier_df, n_discovered, counters)."""
+    """One round's barrier, all DataFrame ops: counters via ONE agg
+    (skipped when the caller already observed them on the stream —
+    the same numbers, collected by the micro-batch itself), next
+    frontier = deferred ∪ children-of-ok with ``disc_seq`` continuing
+    the global counter in (parent fetch order, document order).
+    Returns (frontier_df, n_discovered, counters)."""
     from ..frontier.indexing import assign_global_index
 
-    c = out.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
-        F.sum(F.when(F.col("status") == "deferred", 1).otherwise(0)).alias("deferred"),
-        F.sum(F.when(F.col("status") == "blocked", 1).otherwise(0)).alias("blocked"),
-    ).collect()[0]
-    counters = {k: int(c[k] or 0) for k in ("n", "ok", "failed", "deferred", "blocked")}
+    if counters is None:
+        c = out.agg(*_COUNTER_AGGS()).collect()[0]
+        counters = {k: int(c[k] or 0) for k in _COUNTER_KEYS}
 
     deferred = out.filter(F.col("status") == "deferred").select(
         "url", "depth", "disc_seq"
@@ -283,6 +292,10 @@ def stream_crawl_job(
                     payload_images=payload_images,
                     payload_scale=payload_scale,
                 )
+                # round counters ride the micro-batch itself
+                # (CollectMetrics over every gate row) instead of a
+                # separate driver job re-reading the sink afterwards
+                .observe("round_counters", *_COUNTER_AGGS())
                 .writeStream.foreachBatch(to_sink)
                 .outputMode("append")
                 .option("checkpointLocation", ckpt)
@@ -303,13 +316,27 @@ def stream_crawl_job(
                 "re-run with resume=True (the gate checkpoint dedups)"
             )
 
+        # the observed metrics are exact when this pass ran as ONE
+        # micro-batch — the steady-state shape (the per-round budget
+        # contract already depends on it). A replayed-WAL restart or a
+        # multi-batch pass yields several progress rows, and a metrics
+        # row only covers its own batch, so anything but exactly one
+        # progress row falls back to the agg job inside _next_frontier.
+        counters = None
+        this_pass = [p for p in q.recentProgress if p is not None]
+        if len(this_pass) == 1:
+            row = this_pass[0].get("observedMetrics", {}).get("round_counters")
+            if row is not None:
+                counters = {k: int(row[k] or 0) for k in _COUNTER_KEYS}
+
         out = spark.read.parquet(f"{sink}/r{feeder_round:06d}")
         # blocked rows (use_robots) are reported once and join the seen
         # set but get NO crawl-order position and do not count as
         # fetched — the batch oracle's semantics (they also yield no
         # children: only status='ok' rows discover)
         frontier, n_disc, counters = _next_frontier(
-            out, disc, discover, fanout, n_hosts, dist_index_threshold
+            out, disc, discover, fanout, n_hosts, dist_index_threshold,
+            counters=counters,
         )
 
         # COMMIT POINT: persist the feeder state for this round. The
