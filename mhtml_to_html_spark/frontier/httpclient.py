@@ -119,7 +119,10 @@ def fetch_once(
                 }
             current = urllib.parse.urljoin(current, location)
             continue
-        if status == 200:
+        if 200 <= status < 300:
+            # any 2xx keeps the body — the reference's retry loop tests
+            # response.ok (lib/convert.js:176), so 201/203/206-style
+            # responses are successes there too (ADVICE r5)
             try:
                 body = _decode_body(raw, headers.get("Content-Encoding"))
             except Exception:
@@ -128,7 +131,7 @@ def fetch_once(
                     "body": b"", "url": current,
                 }
             return {
-                "status": 200,
+                "status": status,
                 "retry_after": headers.get("Retry-After"),
                 "content_type": headers.get("Content-Type"),
                 "body": body,
@@ -162,7 +165,7 @@ def fetch_url_with_retries(
     while True:
         outcome = fetch_once(url, timeout=timeout)
         status = outcome["status"]
-        if status == 200:
+        if 200 <= status < 300:  # response.ok semantics (convert.js:176)
             return "ok", attempt + 1, total_delay, outcome["content_type"], outcome["body"]
         if status != -1 and not is_transient(status):
             return "failed", attempt + 1, total_delay, None, b""

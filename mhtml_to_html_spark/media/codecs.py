@@ -70,6 +70,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if rate is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
     if audio_fmt == 0x11:
+        if block_align < 4 * channels:
+            # a malformed fmt chunk (block_align=0) would otherwise
+            # surface as ZeroDivisionError from the block math
+            raise ValueError(f"bad IMA ADPCM block_align {block_align}")
         pcm = decode_ima_adpcm(payload, channels, block_align)
     else:
         pcm = np.frombuffer(payload, dtype="<i2").reshape(-1, channels)

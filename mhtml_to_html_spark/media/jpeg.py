@@ -181,10 +181,16 @@ def _huff_lut(bits: list[int], values: list[int]) -> tuple[bytes, bytes]:
     key = (tuple(bits), tuple(values))
     cached = _LUT_CACHE.get(key)
     if cached is not None:
+        # true LRU: move the hit to the end so hot Annex K entries
+        # survive eviction pressure from per-file progressive tables
+        # (ADVICE r5: the old hit path never re-inserted, making
+        # eviction FIFO and re-building shared 128KB LUTs)
+        del _LUT_CACHE[key]
+        _LUT_CACHE[key] = cached
         return cached
     while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
-        # evict oldest (dict preserves insertion order); the long-lived
-        # Annex K entries re-insert on their next hit
+        # evict least-recently-used (dict preserves insertion order and
+        # hits re-insert above)
         del _LUT_CACHE[next(iter(_LUT_CACHE))]
     val = np.zeros(1 << 16, dtype=np.uint8)
     length = np.zeros(1 << 16, dtype=np.uint8)  # 0 = invalid prefix

@@ -25,6 +25,7 @@ meta map<string,string>).
 from __future__ import annotations
 
 import hashlib
+import zlib
 from struct import error as struct_error
 
 from pyspark.sql import DataFrame
@@ -599,7 +600,11 @@ def image_pixel_quality(media: DataFrame, **thresholds) -> DataFrame:
                     rgb = _to_rgb3(_decode_image(bytes(data)))
                     sig = pixel_quality_signals(rgb)
                     reason = quality_reject_reason(sig, **thresholds)
-                except (ValueError, IndexError, struct_error):
+                except (ValueError, IndexError, struct_error, zlib.error, KeyError):
+                    # zlib.error: corrupt PNG/APNG IDAT; KeyError: a
+                    # JPEG referencing a missing DQT/DHT table — both
+                    # must yield reject_reason='undecodable', not fail
+                    # the whole Spark task (ADVICE r5)
                     sig = dict.fromkeys(
                         ("width", "height", "entropy", "lap_var", "colorfulness", "extreme_frac")
                     )
