@@ -427,6 +427,7 @@ def crawl_spark(
     seen_cuckoo_buckets: int = 1 << 13,
     probe_threshold: int = 20_000,
     robots_broadcast_threshold: int = 100_000,
+    robots_flatten_every: int = 8,
     recrawl_budget: int = 0,
     max_recrawls: int = 1,
     debt_boost: bool = False,
@@ -567,6 +568,7 @@ def crawl_spark(
     # from both the oracle and the uninterrupted run
     recrawls_done = resumed_recrawls_done if start_round > 0 else 0
     robots_large = False
+    robots_chain_len = 0
     n_debt_hosts = 0
     # resume: one count() seeds the incremental robots-host counter
     n_robots_hosts = robots_cache.count() if use_robots and start_round > 0 else 0
@@ -726,6 +728,19 @@ def crawl_spark(
             if n_new_hosts:
                 robots_cache = robots_cache.unionByName(fetched_rules)
                 n_robots_hosts += n_new_hosts
+                robots_chain_len += 1
+                if robots_chain_len >= robots_flatten_every:
+                    # bound the cache's lineage: the per-round shallow
+                    # union (one checkpointed piece per round) keeps
+                    # the steady-state cost O(new hosts), but with
+                    # snapshots off a long crawl would deepen the plan
+                    # linearly (r5 watch item). Folding the union into
+                    # one lazy checkpoint every ``robots_flatten_every``
+                    # rounds caps plan depth at O(K) for an amortized
+                    # O(hosts/K) copy per round — the next robots join
+                    # materializes it in the job it already runs.
+                    robots_cache = robots_cache.localCheckpoint(eager=False)
+                    robots_chain_len = 0
             # the cache only grows, so once it crosses the threshold
             # the hash join latches; the counter is incremental — no
             # per-round count() over the cache

@@ -239,3 +239,21 @@ def test_plan_recrawl_budget_and_staleness(spark):
     assert a[0]["age"] == 8  # now = max(7)+1, fetched_round 0
     plan = plan_of(plan_recrawl(seen, host_budget=2))
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.spark
+def test_robots_cache_flatten_preserves_parity(spark):
+    """The periodic robots-cache lineage flatten (r6: bound the shallow
+    union chain at ``robots_flatten_every`` pieces) must not change one
+    byte of the crawl: force a flatten every round and compare against
+    the oracle."""
+    from mhtml_to_html_spark.frontier.spark_frontier import crawl_spark
+
+    oracle = crawl_oracle(SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET, use_robots=True)
+    res = crawl_spark(
+        spark, SEEDS, max_rounds=MAX_ROUNDS, host_budget=BUDGET,
+        use_robots=True, collect_order=True, robots_flatten_every=1,
+    )
+    assert res.order == oracle.order
+    assert res.seen == oracle.seen
+    assert res.blocked == oracle.blocked
