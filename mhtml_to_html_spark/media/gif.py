@@ -59,39 +59,58 @@ class _BitReader:
 
 
 def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
-    """GIF-flavoured LZW → index bytes (exactly n_pixels of them)."""
+    """GIF-flavoured LZW → index bytes (exactly n_pixels of them).
+
+    The bit reader is inlined as plain locals: the per-code
+    ``_BitReader.read`` method call was ~40% of the decode wall
+    (~1.8k calls per 64x48 frame), and this loop sits inside the
+    image-decode bench units. Same algorithm, same outputs
+    (tests/test_image_codecs.py round-trips pin it)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    reader = _BitReader(data)
     out = bytearray()
+    pos = 0
+    bits = 0
+    acc = 0
+    n_data = len(data)
 
-    def reset():
-        table = [bytes([i]) for i in range(clear)] + [b"", b""]
-        return table, min_code_size + 1
-
-    table, width = reset()
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    mask = (1 << width) - 1
     prev: bytes | None = None
     while len(out) < n_pixels:
-        code = reader.read(width)
+        while bits < width:
+            if pos >= n_data:
+                raise ValueError("GIF LZW stream exhausted")
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & mask
+        acc >>= width
+        bits -= width
         if code == clear:
-            table, width = reset()
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            mask = (1 << width) - 1
             prev = None
             continue
         if code == eoi:
             break
-        if code < len(table):
+        n_table = len(table)
+        if code < n_table:
             entry = table[code]
-        elif code == len(table) and prev is not None:
+        elif code == n_table and prev is not None:
             entry = prev + prev[:1]
         else:
             raise ValueError(f"bad LZW code {code}")
         out += entry
-        if prev is not None and len(table) < 4096:
+        if prev is not None and n_table < 4096:
             table.append(prev + entry[:1])
             # widen when the NEXT code would not fit; cap at 12 bits
             # (deferred-clear: at 4096 the width stays 12 until a clear)
-            if len(table) == (1 << width) and width < 12:
+            if n_table + 1 == (1 << width) and width < 12:
                 width += 1
+                mask = (1 << width) - 1
         prev = entry
     if len(out) < n_pixels:
         raise ValueError("GIF frame short of pixels")

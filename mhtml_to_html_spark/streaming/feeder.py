@@ -144,10 +144,11 @@ def _next_frontier(
     ok = out.filter(F.col("status") == "ok").withColumn(
         "host_rank", host_rank_col(F.col("host"))
     )
-    if discover == "parse":
-        # links came out of the fetched bytes inside the gate (already
-        # eligibility-filtered by extract_links, document order): one
-        # JVM-side posexplode, no second Python pass
+    if "children" in out.columns:
+        # links came out of the gate itself (parse mode: extracted from
+        # the fetched bytes; scripted mode: emit_children riding the
+        # fetch — both already eligibility-filtered, document order):
+        # one JVM-side posexplode, no second Python pass per round
         children = ok.select(
             F.col("depth").alias("p_depth"),
             F.col("host_rank").alias("p_rank"),
@@ -291,6 +292,9 @@ def stream_crawl_job(
                     decode_payload=decode_payload,
                     payload_images=payload_images,
                     payload_scale=payload_scale,
+                    emit_children=(
+                        (fanout, n_hosts) if discover == "scripted" else None
+                    ),
                 )
                 # round counters ride the micro-batch itself
                 # (CollectMetrics over every gate row) instead of a

@@ -165,6 +165,7 @@ def _admit_host_batch(
     decode_payload: bool = False,
     payload_images: int = 2,
     payload_scale: int = 1,
+    emit_children: tuple[int, int] | None = None,
 ):
     """The per-host admission kernel, shared by BOTH stateful-operator
     shapes (applyInPandasWithState and transformWithStateInPandas):
@@ -185,6 +186,7 @@ def _admit_host_batch(
     from ..frontier.seenset import url_hash64
 
     parse_links = discover == "parse"
+    with_children = parse_links or emit_children is not None
     if decode_payload:
         # north-rule parity with the batch crawl's fetch stage: each
         # ok fetch runs the MHTML payload decode inline (real bytes
@@ -213,6 +215,15 @@ def _admit_host_batch(
                 parse_mhtml(body)
             return status, attempts, delay, kids
     else:
+        if emit_children is not None:
+            # scripted discovery riding the fetch itself (the batch
+            # crawl's shape, spark_frontier._fetch_batches): children
+            # in document order, eligibility-filtered before numbering
+            from ..frontier.fixtures import children_of
+            from ..urlnorm import is_fetchable
+
+            fanout, n_hosts = emit_children
+
         def do_fetch(u):
             out = fetch_with_retries(u)
             if decode_payload and out[0] == "ok":
@@ -221,7 +232,12 @@ def _admit_host_batch(
                         url_hash64(u) % 64, payload_images, payload_scale
                     )
                 )
-            return out + ([],)
+            kids = (
+                [c for c in children_of(u, fanout, n_hosts) if is_fetchable(c)]
+                if emit_children is not None and out[0] == "ok"
+                else []
+            )
+            return out + (kids,)
 
     budget = host_token_budget(host, host_budget) if use_robots else host_budget
     # revisit rows (recrawl manifests) FORGET their key first, so the
@@ -254,7 +270,7 @@ def _admit_host_batch(
             "depth": int(r.depth),
             "disc_seq": int(r.disc_seq),
         }
-        if parse_links:
+        if with_children:
             base["children"] = []
         if use_robots and not robots_allows(host, r.key):
             seen.add(h)  # permanently blocked — reported exactly once
@@ -265,7 +281,7 @@ def _admit_host_batch(
             seen.add(h)
             admitted += 1
             row = {**base, "status": status, "attempts": attempts, "delay_ms": delay_ms}
-            if parse_links:
+            if with_children:
                 row["children"] = kids
             rows.append(row)
         else:
@@ -289,6 +305,7 @@ def _politeness_gate(
     decode_payload: bool = False,
     payload_images: int = 2,
     payload_scale: int = 1,
+    emit_children: tuple[int, int] | None = None,
 ):
     """applyInPandasWithState wrapper around :func:`_admit_host_batch`:
     the host's seen set (exact, or Bloom past graduation) + admission
@@ -321,9 +338,14 @@ def _politeness_gate(
         host, batch, seen, host_budget, use_robots, fetcher=fetcher,
         discover=discover, decode_payload=decode_payload,
         payload_images=payload_images, payload_scale=payload_scale,
+        emit_children=emit_children,
     )
     state.update(seen.state_tuple(fetched_total + admitted))
-    cols = _GATE_COLUMNS_PARSE if discover == "parse" else _GATE_COLUMNS
+    cols = (
+        _GATE_COLUMNS_PARSE
+        if (discover == "parse" or emit_children is not None)
+        else _GATE_COLUMNS
+    )
     yield pd.DataFrame(rows, columns=cols)
 
 
@@ -338,8 +360,16 @@ def stream_frontier_fetch(
     decode_payload: bool = False,
     payload_images: int = 2,
     payload_scale: int = 1,
+    emit_children: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(url, depth, disc_seq) stream → fetch-result stream.
+
+    ``emit_children=(fanout, n_hosts)`` makes the SCRIPTED double emit
+    each ok fetch's eligibility-filtered children in document order
+    (the batch crawl's fetch-UDF shape), adding a ``children`` column
+    to the output — the feeder then derives the next frontier with one
+    JVM posexplode instead of a second Python pass per round. Default
+    off: the oracle-pinned gate pairs keep the 8-column schema.
 
     Output rows carry ``status`` ∈ {ok, failed, deferred, blocked};
     deferred rows are the feeder's re-queue contract. Canonicalization
@@ -380,9 +410,12 @@ def stream_frontier_fetch(
             decode_payload=decode_payload,
             payload_images=payload_images,
             payload_scale=payload_scale,
+            emit_children=emit_children,
         ),
         outputStructType=(
-            GATE_SCHEMA + ", children array<string>" if discover == "parse" else GATE_SCHEMA
+            GATE_SCHEMA + ", children array<string>"
+            if (discover == "parse" or emit_children is not None)
+            else GATE_SCHEMA
         ),
         stateStructType=_GATE_STATE_SCHEMA,
         outputMode="append",
