@@ -187,12 +187,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
-    # the signature pipeline (shingle explode + k mins) dominates the
-    # cost; checkpoint the slim (doc_id, band_idx, band_key) rows once
-    # so the hot-key count, both routing joins, and pair generation
-    # reuse ONE computation — without this the plan replays the whole
-    # pipeline per consumer (observed: 4 parquet scans)
-    bands = bands.localCheckpoint(eager=True)
+    # the signature pipeline dominates the cost; checkpoint the slim
+    # (doc_id, band_idx, band_key) rows once so the hot-key count, both
+    # routing joins, and pair generation reuse ONE computation —
+    # without this the plan replays the whole pipeline per consumer
+    # (observed: 4 parquet scans). Lazy since r6: the hot-key broadcast
+    # build is the first consumer and materializes the checkpoint
+    # inside the job it already runs — eager=True was a whole extra
+    # driver job per call (~0.5s at sf1)
+    bands = bands.localCheckpoint(eager=False)
     # hot-bucket DETECTION is a count groupBy (map-side partial agg:
     # only (key, count) rows reach the shuffle, unlike a count window
     # which moves + sorts every band row), and the hot keys — rare by
