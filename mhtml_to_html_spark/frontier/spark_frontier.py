@@ -934,18 +934,25 @@ def crawl_spark(
         n_fetch_parts = min(
             n_par * 8, max(n_par, -(-n_fetchable // fetch_rows_per_task))
         )
-        # Distribution WITHIN the stage: range-stripe on the global
-        # fetch position instead of hashing the key. Hash placement is
-        # binomial — at ~100 rows/task the row count swings ±10% and
-        # the slowest task sets the stage tail (~5s of the 32-core
-        # wall at 36k URLs, while 8-core runs amortize it over 4x the
-        # waves). Contiguous pos ranges give every task the same row
-        # count to ±1; per-row costs (attempts, decode) are
-        # uncorrelated with pos, so task times concentrate. The
-        # sampling pass reads the already-checkpointed manifest.
+        # Distribution WITHIN the stage: keyless ROUND-ROBIN, not hash
+        # and (since r6) not range. Hash placement is binomial — at
+        # ~100 rows/task the row count swings ±10% and the slowest
+        # task sets the stage tail (~5s of the 32-core wall at 36k
+        # URLs; the round-5 fix). Range-striping on pos fixed that but
+        # paid a per-round SAMPLING JOB over the manifest
+        # (repartitionByRange bounds come from a sample pass) — ~0.4s
+        # of the 3-round bench. Round-robin gives the identical
+        # equal-rows-per-task property (each parent partition deals
+        # its rows cyclically, so every task holds total/n ±1) with no
+        # sampling pass; the mandatory local sort-before-repartition
+        # (SPARK-23207, retry determinism) is over the slim manifest
+        # rows only. Per-row costs (attempts, decode) are uncorrelated
+        # with placement, so task times still concentrate; fetch
+        # results carry explicit pos, so placement never affects the
+        # ordering contract (parity suites pin it byte-for-byte).
         fetched = (
             manifest_df.select("key", "host", "depth", "disc_seq", "pos")
-            .repartitionByRange(n_fetch_parts, "pos")
+            .repartition(n_fetch_parts)
             .mapInPandas(fetch_fn, schema=_FETCH_SCHEMA)
         )
         # lazy: the stats agg below is the first action over the
